@@ -1,0 +1,95 @@
+"""Command-line entry point.
+
+Run locally:      python -m codedup --source <parquet> --work-dir <dir>
+Run on a cluster: spark-submit --py-files codedup.zip -m ... (or package
+                  the repo root on PYTHONPATH); no master is forced when
+                  --master is omitted under spark-submit.
+
+Reference analog: the click CLI (/root/reference/src/image_dedup/
+cli.py:151-204) with scan flags --threshold/--hash-size/--no-cache;
+here the tuning surface is DedupConfig and resume is the default.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from codedup.config import DedupConfig
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="codedup",
+        description="PySpark-native near-duplicate detection & clustering for source code",
+    )
+    p.add_argument("--source", nargs="+", required=True,
+                   help="parquet path(s) of files(repo,path,commit,lang,content)")
+    p.add_argument("--work-dir", required=True, help="checkpoint/output directory")
+    p.add_argument("--run-id", default="run")
+    p.add_argument("--master", default=None,
+                   help="Spark master (default: let spark-submit decide; "
+                        "falls back to local[*] when run directly)")
+    p.add_argument("--langs", nargs="*", default=None, help="optional lang filter")
+    p.add_argument("--no-resume", action="store_true",
+                   help="recompute every stage even if checkpoints exist")
+    p.add_argument("--jaccard-threshold", type=float, default=None)
+    p.add_argument("--shingle-k", type=int, default=None)
+    p.add_argument("--bands", type=int, default=None)
+    p.add_argument("--rows-per-band", type=int, default=None)
+    p.add_argument("--shuffle-partitions", type=int, default=None)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    overrides = {
+        k: v
+        for k, v in {
+            "jaccard_threshold": args.jaccard_threshold,
+            "shingle_k": args.shingle_k,
+            "bands": args.bands,
+            "rows_per_band": args.rows_per_band,
+            "shuffle_partitions": args.shuffle_partitions,
+        }.items()
+        if v is not None
+    }
+    cfg = DedupConfig(**overrides)
+
+    from codedup import pipeline
+    from codedup.session import build_session
+
+    master = args.master
+    if master is None:
+        from pyspark import SparkContext
+
+        # under spark-submit a master is already configured; standalone we
+        # default to all local cores
+        master = None if SparkContext._active_spark_context else "local[*]"
+
+    spark = build_session(master, app_name=f"codedup-{args.run_id}", config=cfg)
+    spark.sparkContext.setLogLevel("WARN")
+    try:
+        res = pipeline.run(
+            spark,
+            list(args.source),
+            cfg,
+            work_dir=args.work_dir,
+            run_id=args.run_id,
+            resume=not args.no_resume,
+            langs=args.langs,
+        )
+        out = dict(res.report)
+        out["config_fingerprint"] = cfg.fingerprint()
+        out["recomputed_stages"] = res.recomputed_stages
+        json.dump(out, sys.stdout, indent=1, sort_keys=True)
+        print()
+        return 0
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,74 @@
+"""Pipeline configuration + config fingerprint.
+
+The reference exposes its tuning surface through CLI flags
+(/root/reference/src/image_dedup/cli.py:151-204: --threshold 10,
+--hash-size 16, --no-cache, ...).  Here the whole surface is one frozen
+dataclass whose sha256 fingerprint keys every checkpoint table, so a
+config change automatically invalidates cached stages (the reference's
+size/mtime invalidation, cache.py:91-95, generalized).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field, replace
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    # Bump whenever kernels.py changes hash semantics: it participates in
+    # the fingerprint, so stale signature caches self-invalidate (the
+    # reference's cache has no such guard — a silent-staleness bug class).
+    kernel_version: int = 2
+
+    # --- shingling (replaces image decode, hasher.py:19-47) ---
+    shingle_k: int = 9            # char n-gram length
+    shingle_mode: str = "char"    # "char" | "token"
+    normalize_ws: bool = True     # strip trailing ws per line, CRLF->LF before shingling
+
+    # --- signatures ---
+    num_perm: int = 128           # MinHash permutations (north_star: 128)
+    minhash_seed: int = 42
+    simhash_bits: int = 64        # SimHash width (north_star: 64-bit)
+
+    # --- LSH banding (north_star: b=16, r=8) ---
+    bands: int = 16
+    rows_per_band: int = 8
+
+    # --- verification thresholds (analog of avg-Hamming <= 10, dedup.py:220-227) ---
+    jaccard_threshold: float = 0.80
+    simhash_hamming_max: int = 12     # secondary signal, like dHash vs pHash
+    simhash_prefilter: bool = False   # if True, drop candidates with hamming > max before verify
+    lcs_min_frac: float = 0.0         # 0 disables the LCS gate; >0 requires LCS/minlen >= frac
+    lcs_max_chars: int = 20000        # cap per-side content length for LCS (cost bound)
+
+    # --- skew handling (SURVEY §4.2) ---
+    band_bucket_cap: int = 64     # buckets larger than this use star-collapse, not all-pairs
+
+    # --- execution ---
+    shuffle_partitions: int = 32
+    arrow_max_records: int = 2048  # bound Arrow batch memory for wide `content`
+
+    # --- clustering ---
+    cc_max_iters: int = 50
+
+    def fingerprint(self) -> str:
+        """Stable 16-hex config id; keys checkpoint manifests."""
+        blob = json.dumps(asdict(self), sort_keys=True).encode()
+        return hashlib.sha256(blob).hexdigest()[:16]
+
+    def with_(self, **kw) -> "DedupConfig":
+        return replace(self, **kw)
+
+    def __post_init__(self) -> None:
+        if self.bands * self.rows_per_band != self.num_perm:
+            raise ValueError(
+                f"bands*rows_per_band must equal num_perm "
+                f"({self.bands}*{self.rows_per_band} != {self.num_perm})"
+            )
+        if self.shingle_mode not in ("char", "token"):
+            raise ValueError(f"unknown shingle_mode {self.shingle_mode!r}")
+
+
+DEFAULT_CONFIG = DedupConfig()

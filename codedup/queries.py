@@ -1,0 +1,564 @@
+"""Driver-facing query catalog: Spark implementations + DuckDB oracles.
+
+Each entry is one operator family from SURVEY §2 (or a training-data
+pipeline op), expressed Spark-first, with an ANSI-SQL twin the driver
+runs on DuckDB over the same parquet tables.  Conventions that make the
+value-hash compare robust:
+
+  * every computed column is aliased IDENTICALLY on both sides;
+  * ratios are emitted as exact INTEGER parts-per-million
+    ((x*1000000) div y) — float rounding never crosses engines;
+  * money sums are rounded to 2 decimals (values far from rounding
+    boundaries relative to double error);
+  * rankings order by (rounded metric, id) so last-ulp float noise
+    cannot flip rows.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from codedup.config import DedupConfig
+
+# Config used by the document-dedup queries: raw text (no ws
+# normalization — the SQL oracle sees raw substrings), char 8-grams.
+DOCS_CFG = DedupConfig(shingle_k=8, normalize_ws=False, jaccard_threshold=0.80)
+NGRAM_K = 8
+JACCARD_MIN_PPM = 800_000  # 0.80 as ppm
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _docs_as_files(docs: DataFrame) -> DataFrame:
+    """Map the documents table onto the engine's files schema
+    (input_hint: repo, path, commit, lang, content)."""
+    return docs.select(
+        F.lit("corpus").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        F.lit("0" * 40).alias("commit"),
+        F.col("lang").alias("lang"),
+        F.col("text").alias("content"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# documents: fingerprint / exact dedup (K1, J1, A1)
+# ---------------------------------------------------------------------------
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1/S4: per-row sha256 fingerprint + byte stats (pure codegen)."""
+    return _t(spark, sf_dir, "documents").select(
+        F.col("doc_id"),
+        F.sha2(F.col("text").cast("binary"), 256).alias("sha256"),
+        F.octet_length("text").cast("long").alias("n_bytes"),
+        F.length("text").cast("long").alias("n_chars_computed"),
+    )
+
+
+SQL_DOC_FINGERPRINT = """
+SELECT doc_id,
+       sha256(text)                        AS sha256,
+       octet_length(encode(text))::BIGINT  AS n_bytes,
+       length(text)::BIGINT                AS n_chars_computed
+FROM documents
+"""
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/P2/A2: exact-duplicate groups by content hash (dedup.py:182-188)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy(F.sha2(F.col("text").cast("binary"), 256).alias("sha256"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("group_id"),
+            F.sum(F.length("text")).cast("long").alias("total_chars"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT sha256(text)            AS sha256,
+       count(*)                AS n_docs,
+       min(doc_id)             AS group_id,
+       sum(length(text))::BIGINT AS total_chars
+FROM documents
+GROUP BY 1
+HAVING count(*) > 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# documents: relational n-gram Jaccard (J3 made exact & relational)
+# ---------------------------------------------------------------------------
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact char-8-gram Jaccard >= 0.5 over all pairs.
+
+    The documents corpus has a SMALL element universe (word-soup from a
+    tiny vocabulary: every shingle is frequent), which defeats
+    prefix-filter pruning — so this uses the broadcast inverted-index
+    scan operator (codedup.operators.inverted_index_jaccard_join):
+    vectorized bincount per probe doc, exact integer math, bit-identical
+    to the naive all-pairs SQL the oracle runs.  For large-vocabulary
+    corpora the prefix-filtered relational variant
+    (exact_jaccard_join) is the right tool."""
+    from codedup.operators import inverted_index_jaccard_join, shingle_rows
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = shingle_rows(docs, "doc_id", "text", NGRAM_K)
+    return (
+        inverted_index_jaccard_join(sh, 0.5)
+        .withColumn("jaccard_ppm", F.expr("(c * 1000000) div (na + nb - c)"))
+        .filter(F.col("jaccard_ppm") >= 500_000)
+        .select("a", "b", "jaccard_ppm")
+    )
+
+
+SQL_DEDUP_NGRAM_JACCARD = f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, substr(text, i, {NGRAM_K}) AS g
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(1, greatest(length(text)-{NGRAM_K - 1}, 1))) AS i) t
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+), inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+  FROM sh x JOIN sh y USING (g)
+  WHERE x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT a, b, (c * 1000000) // (sa.n + sb.n - c) AS jaccard_ppm
+FROM inter
+JOIN sizes sa ON sa.doc_id = a
+JOIN sizes sb ON sb.doc_id = b
+WHERE (c * 1000000) // (sa.n + sb.n - c) >= 500000
+"""
+
+
+# ---------------------------------------------------------------------------
+# documents: MinHash-LSH dedup (the engine's own pipeline, K2/J3/K10)
+# ---------------------------------------------------------------------------
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The real MinHash(128) -> LSH(b=16,r=8) -> exact-verify pipeline on
+    the documents table.  Output = verified pairs with exact Jaccard >=
+    0.80 as integer ppm.  The DuckDB oracle computes the same set
+    all-pairs; equality holds because exact verification makes LSH
+    false-positive-free and, on this corpus, the qualifying pairs sit at
+    s >= 0.93 where the b=16/r=8 miss probability is < 1e-5 (checked in
+    tests against the all-pairs result)."""
+    from codedup.stages.banding import band_rows
+    from codedup.stages.candidates import candidate_pairs
+    from codedup.stages.exact import representatives
+    from codedup.stages.fingerprint import fingerprint
+    from codedup.stages.signatures import compute_signatures
+    from codedup.stages.verify import verify_pairs
+
+    cfg = DOCS_CFG
+    files = _docs_as_files(_t(spark, sf_dir, "documents"))
+    fp = fingerprint(files).localCheckpoint(eager=False)
+    reps = representatives(fp)
+    sigs = compute_signatures(reps.select("file_id", "content"), cfg)
+    cands = candidate_pairs(band_rows(sigs, cfg), cfg)
+    verified = verify_pairs(cands, reps, sigs, cfg)
+
+    ids = fp.select("file_id", F.col("path").cast("long").alias("doc_id"))
+    pairs = (
+        verified
+        .join(ids.select(F.col("file_id").alias("a"), F.col("doc_id").alias("da")), "a")
+        .join(ids.select(F.col("file_id").alias("b"), F.col("doc_id").alias("db")), "b")
+        .select(
+            F.least("da", "db").alias("a"),
+            F.greatest("da", "db").alias("b"),
+            F.when(F.col("n_union") == 0, F.lit(1_000_000))
+            .otherwise(F.expr("(n_inter * 1000000) div n_union"))
+            .alias("jaccard_ppm"),
+        )
+    )
+    return pairs
+
+
+SQL_DEDUP_MINHASH_LSH = f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, substr(text, i, {NGRAM_K}) AS g
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(1, greatest(length(text)-{NGRAM_K - 1}, 1))) AS i) t
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+), inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+  FROM sh x JOIN sh y USING (g)
+  WHERE x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT a, b, (c * 1000000) // (sa.n + sb.n - c) AS jaccard_ppm
+FROM inter
+JOIN sizes sa ON sa.doc_id = a
+JOIN sizes sb ON sb.doc_id = b
+WHERE (c * 1000000) // (sa.n + sb.n - c) >= {JACCARD_MIN_PPM}
+"""
+
+
+# ---------------------------------------------------------------------------
+# documents: text analysis (tokens / quality / language heuristic)
+# ---------------------------------------------------------------------------
+
+_TOKENS = "filter(split(text, '\\\\s+'), x -> x != '')"
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality signals per document, all integer-exact
+    (higher-order array functions, no UDF, no shuffle beyond the scan)."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(f"size({_TOKENS})").cast("long").alias("n_tokens"),
+        F.expr(f"size(array_distinct({_TOKENS}))").cast("long").alias("n_uniq_tokens"),
+        F.expr(
+            f"aggregate(transform({_TOKENS}, x -> length(x)), 0L, (acc, v) -> acc + v)"
+        ).alias("token_chars"),
+        F.expr(
+            f"CASE WHEN size({_TOKENS}) = 0 THEN 0 ELSE"
+            f" (size(array_distinct({_TOKENS})) * 1000000) div size({_TOKENS}) END"
+        ).cast("long").alias("uniq_ratio_ppm"),
+    )
+
+
+SQL_TEXT_STATS = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
+  FROM documents
+)
+SELECT doc_id,
+       len(tk)::BIGINT AS n_tokens,
+       len(list_distinct(tk))::BIGINT AS n_uniq_tokens,
+       coalesce(list_sum(list_transform(tk, x -> length(x))), 0)::BIGINT AS token_chars,
+       (CASE WHEN len(tk) = 0 THEN 0
+             ELSE (len(list_distinct(tk)) * 1000000) // len(tk) END)::BIGINT AS uniq_ratio_ppm
+FROM toks
+"""
+
+
+def q_token_count_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/A9 analog: corpus-level token accounting per lang partition."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("lang", F.expr(f"size({_TOKENS})").cast("long").alias("nt"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").alias("total_tokens"),
+            F.max("nt").alias("max_tokens"),
+        )
+    )
+
+
+SQL_TOKEN_COUNT_BY_LANG = """
+SELECT lang,
+       count(*) AS n_docs,
+       sum(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')))::BIGINT AS total_tokens,
+       max(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')))::BIGINT AS max_tokens
+FROM documents
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# embeddings: similarity search (brute-force cosine; ANN baseline)
+# ---------------------------------------------------------------------------
+
+def _collect_embedding_matrix(emb: DataFrame):
+    """Driver-side (ids, matrix) of the FULL embeddings table — the
+    'broadcast the smaller side' half of a block-matrix similarity
+    join.  At 100 TB the probe side streams through mapInPandas while
+    this side is replicated (or IVF-partitioned); here the replicated
+    side is the whole table."""
+    import numpy as np
+
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    mat = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+    order = np.argsort(ids)
+    return ids[order], mat[order]
+
+
+def q_ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 per probe vector (vec_id % 50 == 0).
+
+    Executed as an Arrow-batched numpy matmul against the broadcast
+    candidate matrix (BLAS — the vectorized scale path; ~100x the
+    per-row expression-eval version).  Ranking by (cosine rounded to 6,
+    vec_id) so cross-engine last-ulp noise cannot flip ranks; output
+    carries ids + rank only (no floats) for exact comparison."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    emb = _t(spark, sf_dir, "embeddings")
+    ids, mat = _collect_embedding_matrix(emb)
+
+    def gen(it):
+        import numpy as np
+
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        for pdf in it:
+            if not len(pdf):
+                continue
+            q = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            qn = np.sqrt((q * q).sum(axis=1))
+            sims = np.round((q @ mat.T) / (qn[:, None] * norms[None, :]), 6)
+            out_q, out_n, out_r = [], [], []
+            for row, qid in zip(sims, pdf["vec_id"].to_numpy()):
+                mask = ids != qid
+                cand_ids, cand_sims = ids[mask], row[mask]
+                order = np.lexsort((cand_ids, -cand_sims))[:5]
+                out_q.extend([qid] * len(order))
+                out_n.extend(cand_ids[order].tolist())
+                out_r.extend(range(1, len(order) + 1))
+            yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n,
+                                "rank": pd.array(out_r, dtype="int32")})
+
+    schema = T.StructType([
+        T.StructField("query_id", T.LongType()),
+        T.StructField("neighbor_id", T.LongType()),
+        T.StructField("rank", T.IntegerType()),
+    ])
+    probes = emb.filter(F.col("vec_id") % 50 == 0).select("vec_id", "embedding")
+    return probes.mapInPandas(gen, schema=schema)
+
+
+SQL_ANN_TOPK_COSINE = """
+WITH probes AS (
+  SELECT vec_id AS query_id, embedding AS qa FROM embeddings WHERE vec_id % 50 = 0
+), scored AS (
+  SELECT p.query_id, e.vec_id AS neighbor_id,
+         round(
+           list_sum(list_transform(generate_series(1, len(p.qa)),
+                                   i -> p.qa[i]::DOUBLE * e.embedding[i]::DOUBLE))
+           / (sqrt(list_sum(list_transform(p.qa, x -> x::DOUBLE * x::DOUBLE)))
+              * sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))),
+           6) AS sim6
+  FROM probes p JOIN embeddings e ON e.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, rank::INT AS rank
+FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim6 DESC, neighbor_id) AS rank
+  FROM scored
+)
+WHERE rank <= 5
+"""
+
+
+def q_embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (threshold 0.45); ids only.
+    Same block-matmul shape as q_ann_topk_cosine: every partition of the
+    left side multiplies against the broadcast right matrix."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    emb = _t(spark, sf_dir, "embeddings")
+    ids, mat = _collect_embedding_matrix(emb)
+
+    def gen(it):
+        import numpy as np
+
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        for pdf in it:
+            if not len(pdf):
+                continue
+            q = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            qn = np.sqrt((q * q).sum(axis=1))
+            qids = pdf["vec_id"].to_numpy()
+            sims = (q @ mat.T) / (qn[:, None] * norms[None, :])
+            # a < b keeps each unordered pair exactly once
+            ok = (sims >= 0.45) & (qids[:, None] < ids[None, :])
+            ai, bi = np.nonzero(ok)
+            yield pd.DataFrame({"a": qids[ai], "b": ids[bi]})
+
+    schema = T.StructType([
+        T.StructField("a", T.LongType()), T.StructField("b", T.LongType())
+    ])
+    return emb.select("vec_id", "embedding").mapInPandas(gen, schema=schema)
+
+
+SQL_EMBEDDING_SIMILAR_PAIRS = """
+SELECT x.vec_id AS a, y.vec_id AS b
+FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+WHERE list_sum(list_transform(generate_series(1, len(x.embedding)),
+                              i -> x.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE))
+      / (sqrt(list_sum(list_transform(x.embedding, v -> v::DOUBLE * v::DOUBLE)))
+         * sqrt(list_sum(list_transform(y.embedding, v -> v::DOUBLE * v::DOUBLE)))) >= 0.45
+"""
+
+
+# ---------------------------------------------------------------------------
+# relational operator demos on the TPC-H-ish tables (SURVEY §2.2-2.5)
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: partial+final hash aggregation with predicate pushdown (TPC-H
+    Q1 shape)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)        AS sum_qty,
+       round(sum(l_extendedprice), 2)   AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       count(*)                         AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY 1, 2
+"""
+
+
+def q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: keep-best-N election per group (window top-k, the exemplar
+    pattern of cli.py:29-30)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+SQL_TOP_ORDERS_PER_CUSTOMER = """
+SELECT o_custkey, o_orderkey, rank::INT AS rank
+FROM (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rank
+  FROM orders
+)
+WHERE rank <= 3
+"""
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5/P5: anti-join (the relational form of the reference's seen/
+    processed skip-sets)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+SQL_CUSTOMERS_WITHOUT_ORDERS = """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-chain + A2: broadcast dimension joins feeding an aggregate
+    (customer ⋈ nation ⋈ orders)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+SQL_REVENUE_BY_NATION = """
+SELECT n_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY 1
+"""
+
+
+def q_events_daily_top_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time daily rollup + per-day top-3 types (A4 + W1 over the
+    events stream table; batch view of the streaming rollup)."""
+    e = _t(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(
+            F.date_format(F.col("ts"), "yyyy-MM-dd").alias("day"), F.col("event_type")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    w = Window.partitionBy("day").orderBy(F.desc("n_events"), F.asc("event_type"))
+    return (
+        daily.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("day", "event_type", "n_events", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+SQL_EVENTS_DAILY_TOP_TYPES = """
+WITH daily AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT day, event_type, n_events, rank::INT AS rank
+FROM (
+  SELECT day, event_type, n_events,
+         row_number() OVER (PARTITION BY day ORDER BY n_events DESC, event_type) AS rank
+  FROM daily
+)
+WHERE rank <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# catalog
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "doc_fingerprint": q_doc_fingerprint,
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "text_stats": q_text_stats,
+    "token_count_by_lang": q_token_count_by_lang,
+    "ann_topk_cosine": q_ann_topk_cosine,
+    "embedding_similar_pairs": q_embedding_similar_pairs,
+    "pricing_summary": q_pricing_summary,
+    "top_orders_per_customer": q_top_orders_per_customer,
+    "customers_without_orders": q_customers_without_orders,
+    "revenue_by_nation": q_revenue_by_nation,
+    "events_daily_top_types": q_events_daily_top_types,
+}
+
+ORACLES: dict[str, str] = {
+    "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
+    "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
+    "text_stats": SQL_TEXT_STATS,
+    "token_count_by_lang": SQL_TOKEN_COUNT_BY_LANG,
+    "ann_topk_cosine": SQL_ANN_TOPK_COSINE,
+    "embedding_similar_pairs": SQL_EMBEDDING_SIMILAR_PAIRS,
+    "pricing_summary": SQL_PRICING_SUMMARY,
+    "top_orders_per_customer": SQL_TOP_ORDERS_PER_CUSTOMER,
+    "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
+    "revenue_by_nation": SQL_REVENUE_BY_NATION,
+    "events_daily_top_types": SQL_EVENTS_DAILY_TOP_TYPES,
+}

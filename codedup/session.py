@@ -1,0 +1,41 @@
+"""SparkSession construction with the engine's execution settings.
+
+Centralizes the knobs SURVEY §4.2 calls out: AQE (+skew join), Arrow
+batch size, shuffle partitions.  Tests use ``local[4]``; the scaling
+bench uses ``local[8]`` vs ``local[32]``; a real deployment passes
+``master=None`` and lets spark-submit decide.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from codedup.config import DedupConfig
+
+
+def build_session(
+    master: str | None = "local[4]",
+    app_name: str = "codedup",
+    config: DedupConfig | None = None,
+    shuffle_partitions: int | None = None,
+    extra: dict[str, str] | None = None,
+) -> SparkSession:
+    cfg = config or DedupConfig()
+    b = SparkSession.builder.appName(app_name)
+    if master:
+        b = b.master(master)
+    b = (
+        b.config("spark.sql.shuffle.partitions", str(shuffle_partitions or cfg.shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(cfg.arrow_max_records))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", "8g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+    )
+    for k, v in (extra or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

@@ -1,0 +1,62 @@
+"""Stage 5 — candidate pairs: skew-aware bucket join.
+
+The hot-bucket pathology (SURVEY §4.2.2): license boilerplate or a
+vendored library puts thousands of files in one (band, band_hash)
+bucket; a naive self-join emits O(k^2) pairs in a single task.
+
+Strategy here (explicit, not left to AQE alone):
+  1. bucket sizes via one aggregation; size-1 buckets dropped early
+     (the overwhelming majority — they can produce no pairs);
+  2. buckets with size <= band_bucket_cap: all-pairs self-join on
+     (band, band_hash) with file_id_a < file_id_b;
+  3. buckets larger than the cap: STAR COLLAPSE — pair every member
+     with the bucket's min(file_id) only.  O(k) pairs instead of
+     O(k^2), preserving connectivity (so final cluster membership is
+     unaffected; pair-level recall is measured on cluster
+     co-membership, SURVEY §5.2 note) while a false-positive hot
+     bucket costs k verifications instead of k^2/2;
+  4. explicit repartition by band_hash before the join (north_star:
+     "explicit repartitioning by band-hash") + AQE skew-join for
+     residual imbalance;
+  5. a pair colliding in several bands is deduplicated BEFORE the
+     expensive verify stage (dropDuplicates on (a,b)).
+
+The reference's `matched`/`processed` skip-sets (dedup.py:204-217)
+correspond to the a<b normalization + distinct here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from codedup.config import DedupConfig
+
+
+def candidate_pairs(bands: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """(file_id, band, band_hash) -> distinct (a, b) with a < b."""
+    cap = cfg.band_bucket_cap
+    sizes = bands.groupBy("band", "band_hash").agg(F.count(F.lit(1)).alias("bsz"))
+    sized = (
+        bands.join(sizes.filter(F.col("bsz") > 1), ["band", "band_hash"])
+        .repartition(F.col("band_hash"))
+    )
+
+    small = sized.filter(F.col("bsz") <= cap).drop("bsz")
+    left = small.select("band", "band_hash", F.col("file_id").alias("a"))
+    right = small.select("band", "band_hash", F.col("file_id").alias("b"))
+    pairs_small = (
+        left.join(right, ["band", "band_hash"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+    )
+
+    hot = sized.filter(F.col("bsz") > cap).drop("bsz")
+    hot_min = hot.groupBy("band", "band_hash").agg(F.min("file_id").alias("rep"))
+    pairs_hot = (
+        hot.join(hot_min, ["band", "band_hash"])
+        .filter(F.col("file_id") != F.col("rep"))
+        .select(F.col("rep").alias("a"), F.col("file_id").alias("b"))
+    )
+
+    return pairs_small.unionByName(pairs_hot).dropDuplicates(["a", "b"])

@@ -1,0 +1,57 @@
+"""Stage 3 — signatures: the first of exactly two Arrow boundaries.
+
+Computes, per distinct-content representative, in ONE pass over the
+content column (Arrow-batched, numpy-vectorized within each document):
+
+    n_shingles  — distinct char-k-gram count
+    minhash     — 128-perm MinHash signature, array<long>   (pHash analog, hasher.py:19-36)
+    simhash     — 64-bit SimHash, long                      (dHash analog, hasher.py:39-47)
+
+Reference computed three hashes in three separate passes per file
+(dedup.py:156-166); here one decode + one shingle pass feeds both
+signatures.  Batch size is bounded by spark.sql.execution.arrow.
+maxRecordsPerBatch because ``content`` rows can be wide.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from codedup.config import DedupConfig
+
+SIG_SCHEMA = T.StructType([
+    T.StructField("file_id", T.LongType(), False),
+    T.StructField("n_shingles", T.IntegerType(), False),
+    T.StructField("minhash", T.ArrayType(T.LongType(), False), False),
+    T.StructField("simhash", T.LongType(), False),
+])
+
+
+def compute_signatures(reps: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """representatives(file_id, content, ...) -> signatures table."""
+    k, num_perm, seed, norm = cfg.shingle_k, cfg.num_perm, cfg.minhash_seed, cfg.normalize_ws
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # imports inside: runs on executors' Python workers
+        from codedup import kernels as K
+
+        for pdf in it:
+            fids = pdf["file_id"].to_numpy()
+            out_n, out_mh, out_sh = [], [], []
+            for text in pdf["content"]:
+                sh = K.shingle_hashes(text, k, normalize_ws=norm)
+                out_n.append(sh.size)
+                out_mh.append(K.minhash_signature(sh, num_perm, seed).tolist())
+                out_sh.append(K.simhash64(sh))
+            yield pd.DataFrame({
+                "file_id": fids,
+                "n_shingles": pd.array(out_n, dtype="int32"),
+                "minhash": out_mh,
+                "simhash": pd.array(out_sh, dtype="int64"),
+            })
+
+    return reps.select("file_id", "content").mapInPandas(batches, schema=SIG_SCHEMA)

@@ -1,0 +1,103 @@
+"""Stage 6 — verification: the second (and last) Arrow boundary.
+
+LSH candidates are probabilistic; verification makes them exact, in
+three signals (reference analog: the avg(pHash,dHash) Hamming <= 10
+check, dedup.py:220-227, split into cheap->expensive tiers):
+
+  hamming   — SimHash Hamming distance, computed JVM-side with
+              bit_count(xor) BEFORE the Python boundary (K5 analog,
+              hasher.py:60-71).  Recorded as a signal; not used as a
+              prefilter by default (protects the 0.99 recall bar).
+  jaccard   — exact Jaccard over the true shingle sets (K10); the
+              primary accept/reject filter.
+  lcs_frac  — suffix-array longest-common-substring / min(len)
+              (K11, north_star's confirmation signal); computed only
+              for pairs that already pass the Jaccard threshold, with
+              content capped at lcs_max_chars, so its O(n log n) cost
+              is bounded and only spent on accepted pairs.
+
+Contents are re-joined by file_id only for candidate ids (semi-join
+pattern) so shuffled bytes stay proportional to candidates, not corpus.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from codedup.config import DedupConfig
+
+VERIFIED_SCHEMA = T.StructType([
+    T.StructField("a", T.LongType(), False),
+    T.StructField("b", T.LongType(), False),
+    T.StructField("jaccard", T.DoubleType(), False),
+    T.StructField("n_inter", T.LongType(), False),   # |shingles(a) ∩ shingles(b)|
+    T.StructField("n_union", T.LongType(), False),   # |shingles(a) ∪ shingles(b)|
+    T.StructField("hamming", T.IntegerType(), False),
+    T.StructField("lcs_frac", T.DoubleType(), False),
+    T.StructField("kind", T.StringType(), False),
+])
+
+
+def verify_pairs(pairs: DataFrame, reps: DataFrame, sigs: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """candidate (a,b) -> verified near-dup pairs passing the thresholds.
+
+    ``reps`` must carry (file_id, content); ``sigs`` (file_id, simhash).
+    """
+    k, norm = cfg.shingle_k, cfg.normalize_ws
+    j_min, lcs_min, lcs_cap = cfg.jaccard_threshold, cfg.lcs_min_frac, cfg.lcs_max_chars
+
+    sim = sigs.select("file_id", "simhash")
+    with_sim = (
+        pairs
+        .join(sim.select(F.col("file_id").alias("a"), F.col("simhash").alias("sim_a")), "a")
+        .join(sim.select(F.col("file_id").alias("b"), F.col("simhash").alias("sim_b")), "b")
+        .withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("int"))
+        .drop("sim_a", "sim_b")
+    )
+    if cfg.simhash_hamming_max is not None and cfg.simhash_prefilter:
+        with_sim = with_sim.filter(F.col("hamming") <= cfg.simhash_hamming_max)
+
+    content = reps.select("file_id", "content")
+    joined = (
+        with_sim
+        .join(content.select(F.col("file_id").alias("a"), F.col("content").alias("content_a")), "a")
+        .join(content.select(F.col("file_id").alias("b"), F.col("content").alias("content_b")), "b")
+        .select("a", "b", "hamming", "content_a", "content_b")
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from codedup import kernels as K
+
+        for pdf in it:
+            rows = {k2: [] for k2 in VERIFIED_SCHEMA.fieldNames()}
+            for a, b, ham, ca, cb in zip(
+                pdf["a"], pdf["b"], pdf["hamming"], pdf["content_a"], pdf["content_b"]
+            ):
+                sa = K.shingle_hashes(ca, k, normalize_ws=norm)
+                sb = K.shingle_hashes(cb, k, normalize_ws=norm)
+                inter, union = K.jaccard_counts(sa, sb)
+                j = 1.0 if union == 0 else inter / float(union)
+                if j < j_min:
+                    continue
+                lf = K.lcs_fraction(ca, cb, max_chars=lcs_cap)
+                if lf < lcs_min:
+                    continue
+                rows["a"].append(a)
+                rows["b"].append(b)
+                rows["jaccard"].append(j)
+                rows["n_inter"].append(inter)
+                rows["n_union"].append(union)
+                rows["hamming"].append(int(ham))
+                rows["lcs_frac"].append(lf)
+                rows["kind"].append("near" if j < 1.0 else "normalized_exact")
+            yield pd.DataFrame(rows, columns=list(VERIFIED_SCHEMA.fieldNames())).astype(
+                {"a": "int64", "b": "int64", "jaccard": "float64", "n_inter": "int64",
+                 "n_union": "int64", "hamming": "int32", "lcs_frac": "float64", "kind": "object"}
+            )
+
+    return joined.mapInPandas(batches, schema=VERIFIED_SCHEMA)

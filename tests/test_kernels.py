@@ -1,0 +1,129 @@
+"""Kernel unit tests: hash determinism, estimator quality, edge cases
+(SURVEY §5.2.2)."""
+
+import numpy as np
+import pytest
+
+from codedup import kernels as K
+
+
+def test_normalization_crlf_trailing_ws():
+    a = K.shingle_hashes("def f():\n    return 1\n", 9)
+    b = K.shingle_hashes("def f():\r\n    return 1   \r\n", 9)
+    assert np.array_equal(a, b)
+
+
+def test_shingles_deterministic_and_distinct():
+    t = "the quick brown fox jumps over the lazy dog" * 3
+    s1, s2 = K.shingle_hashes(t, 9), K.shingle_hashes(t, 9)
+    assert np.array_equal(s1, s2)
+    assert s1.dtype == np.uint64
+    assert np.unique(s1).size == s1.size  # distinct by construction
+
+
+def test_shingles_edge_cases():
+    assert K.shingle_hashes("", 9).size == 0
+    # trailing whitespace normalizes away; bare newlines remain
+    ws = K.shingle_hashes("   \n  \n", 9)
+    assert np.array_equal(ws, K.shingle_hashes("\n\n", 9))
+    assert K.shingle_hashes("hi", 9).size == 1  # shorter than k -> one shingle
+    u = K.shingle_hashes("∑ € 漢字 🎉 Ω", 9)
+    assert u.size > 0  # unicode round-trips through utf-8
+
+
+def test_minhash_determinism_and_shape():
+    s = K.shingle_hashes("some content for hashing purposes", 9)
+    m1 = K.minhash_signature(s, 128, 42)
+    m2 = K.minhash_signature(s, 128, 42)
+    assert np.array_equal(m1, m2)
+    assert m1.shape == (128,) and m1.dtype == np.int64
+    m3 = K.minhash_signature(s, 128, 43)  # different seed -> different sig
+    assert not np.array_equal(m1, m3)
+
+
+def test_minhash_empty_sentinel():
+    empty = K.minhash_signature(np.empty(0, dtype=np.uint64), 128, 42)
+    assert (empty == K.EMPTY_MIN).all()
+    nonempty = K.minhash_signature(K.shingle_hashes("abc def ghi jkl", 4), 128, 42)
+    assert not (nonempty == K.EMPTY_MIN).any()
+
+
+def test_minhash_estimator_unbiased():
+    """MinHash agreement must track true Jaccard within statistical
+    bounds (this catches the correlated-permutation failure mode of
+    narrow affine families, see kernels.minhash_perms docstring)."""
+    rng = np.random.default_rng(0)
+    errs = []
+    for _ in range(40):
+        n = 500
+        overlap = int(n * rng.uniform(0.4, 0.98))
+        pool = rng.integers(0, 1 << 63, size=2 * n - overlap).astype(np.uint64)
+        A, B = np.unique(pool[:n]), np.unique(pool[n - overlap:])
+        jt = K.exact_jaccard(A, B)
+        est = (K.minhash_signature(A, 128, 42) == K.minhash_signature(B, 128, 42)).mean()
+        errs.append(est - jt)
+    errs = np.array(errs)
+    assert abs(errs.mean()) < 0.02          # unbiased
+    assert np.abs(errs).max() < 0.15        # ~3.4 sigma at std=sqrt(p(1-p)/128)
+
+
+def test_simhash_monotone_under_small_edits():
+    base = "".join(f"line number {i} with some text\n" for i in range(80))
+    h0 = K.simhash64(K.shingle_hashes(base, 9))
+    small = base.replace("number 10", "number 10x")
+    large = "".join(f"totally different content {i} here\n" for i in range(80))
+    d_small = K.hamming64(h0, K.simhash64(K.shingle_hashes(small, 9)))
+    d_large = K.hamming64(h0, K.simhash64(K.shingle_hashes(large, 9)))
+    assert d_small < d_large
+    assert d_small <= 8
+    assert d_large > 20
+
+
+def test_hamming64():
+    assert K.hamming64(0, 0) == 0
+    assert K.hamming64(-1, 0) == 64
+    assert K.hamming64(0b1011, 0b0001) == 2
+
+
+def test_jaccard_edges():
+    e = np.empty(0, dtype=np.uint64)
+    s = np.array([1, 2, 3], dtype=np.uint64)
+    assert K.exact_jaccard(e, e) == 1.0
+    assert K.exact_jaccard(e, s) == 0.0
+    assert K.exact_jaccard(s, s) == 1.0
+
+
+@pytest.mark.parametrize(
+    "a,b,expect",
+    [
+        ("hello world", "say hello!", 5),
+        ("abc", "xabcy", 3),
+        ("abc", "xyz", 0),
+        ("", "x", 0),
+        ("aaaa", "aa", 2),
+        ("banana", "ananas", 5),
+    ],
+)
+def test_lcs_known_cases(a, b, expect):
+    assert K.lcs_length(a, b) == expect
+
+
+def test_lcs_large_and_capped():
+    a = "A" * 5000 + "B" * 5000
+    b = "C" * 3000 + "A" * 2500
+    assert K.lcs_length(a, b) == 2500
+    # cap truncates both sides BEFORE matching
+    assert K.lcs_length(a, b, max_chars=1000) == 0      # 'A'*1000 vs 'C'*1000
+    assert K.lcs_length(a, a, max_chars=1000) == 1000
+
+
+def test_lcs_unicode_and_separator_safety():
+    # code point 0 in content must not alias the separator
+    assert K.lcs_length("a\x00b", "\x00b") == 2
+    assert K.lcs_length("漢字テスト", "前漢字後") == 2
+
+
+def test_lcs_fraction():
+    assert K.lcs_fraction("abcd", "abcd") == 1.0
+    assert K.lcs_fraction("", "") == 1.0
+    assert K.lcs_fraction("", "x") == 0.0
