@@ -40,6 +40,12 @@ class DedupConfig:
     jaccard_threshold: float = 0.80
     simhash_hamming_max: int = 12     # secondary signal, like dHash vs pHash
     simhash_prefilter: bool = False   # if True, drop candidates with hamming > max before verify
+    # JVM-side cheap prefilter before the (expensive) Python verify:
+    # drop candidates whose MinHash-estimated Jaccard is below
+    # threshold - margin.  At margin 0.15 a true 0.80-Jaccard pair is
+    # rejected with prob ~P(z < -4.3σ) ≈ 1e-5 (σ = sqrt(p(1-p)/128)).
+    # None disables.
+    minhash_prefilter_margin: float | None = 0.15
     lcs_min_frac: float = 0.0         # 0 disables the LCS gate; >0 requires LCS/minlen >= frac
     lcs_max_chars: int = 20000        # cap per-side content length for LCS (cost bound)
 

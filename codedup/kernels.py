@@ -31,12 +31,22 @@ U64 = np.uint64
 EMPTY_MIN = np.int64(-1)
 
 
+_SM_A = U64(0x9E3779B97F4A7C15)
+_SM_B = U64(0xBF58476D1CE4E5B9)
+_SM_C = U64(0x94D049BB133111EB)
+
+
 def _splitmix64(x: np.ndarray) -> np.ndarray:
-    """SplitMix64 finalizer — public-domain mixing function."""
-    x = (x + U64(0x9E3779B97F4A7C15)).astype(U64)
-    x = ((x ^ (x >> U64(30))) * U64(0xBF58476D1CE4E5B9)).astype(U64)
-    x = ((x ^ (x >> U64(27))) * U64(0x94D049BB133111EB)).astype(U64)
-    return (x ^ (x >> U64(31))).astype(U64)
+    """SplitMix64 finalizer — public-domain mixing function.
+    In-place uint64 ops on a fresh copy (no astype round-trips: inputs
+    are already uint64 and every op preserves dtype)."""
+    x = x + _SM_A          # new array; wraps mod 2^64
+    x ^= x >> U64(30)
+    x *= _SM_B
+    x ^= x >> U64(27)
+    x *= _SM_C
+    x ^= x >> U64(31)
+    return x
 
 
 def normalize_text(text: str) -> str:
@@ -165,58 +175,69 @@ def exact_jaccard(sa: np.ndarray, sb: np.ndarray) -> float:
     return inter / float(union)
 
 
-def _suffix_array(codes: np.ndarray) -> np.ndarray:
-    """Suffix array by prefix doubling (Manber–Myers), fully vectorized
-    numpy; O(n log n).  ``codes`` is any int array of symbols."""
+def _suffix_array_levels(codes: np.ndarray) -> tuple[np.ndarray, list[tuple[int, np.ndarray]]]:
+    """Suffix array by prefix doubling (Manber–Myers), fully vectorized;
+    O(n log n).  Also returns the per-level rank arrays
+    [(2^k, rank_k)] where rank_k orders length-2^k prefixes — equality
+    of rank_k implies exact equality of 2^k symbols (suffix lengths in a
+    generalized a#b string are all distinct, so padding never aliases).
+    Sorting uses one packed int64 key per round instead of lexsort."""
     n = codes.size
-    rank = np.unique(codes, return_inverse=True)[1].astype(np.int64)
-    sa = np.argsort(rank, kind="stable")
+    # int32 everywhere when the packed key rank*(n+1)+key2 < 2^31, i.e.
+    # n <= ~46000 (always true under lcs_max_chars=20000): halves memory
+    # traffic, which is the scaling ceiling when many workers run LCS
+    # concurrently (suffix sorting is bandwidth-bound, not FLOP-bound)
+    dt = np.int32 if n < 46000 else np.int64
+    order = np.argsort(codes, kind="stable")
+    sc = codes[order]
+    rank = np.empty(n, dtype=dt)
+    rank[order] = np.concatenate([[0], np.cumsum(sc[1:] != sc[:-1], dtype=dt)])
+    sa = order
+    levels: list[tuple[int, np.ndarray]] = [(1, rank)]
     k = 1
-    while k < n:
-        key2 = np.full(n, -1, dtype=np.int64)
-        key2[: n - k] = rank[k:]
-        order = np.lexsort((key2, rank))
-        pair = np.stack([rank[order], key2[order]], axis=1)
-        new_rank = np.empty(n, dtype=np.int64)
-        changed = np.any(pair[1:] != pair[:-1], axis=1)
-        new_rank[order] = np.concatenate([[0], np.cumsum(changed)])
+    stride = dt(n + 1)
+    while k < n and rank[sa[-1]] != n - 1:
+        key2 = np.zeros(n, dtype=dt)
+        key2[: n - k] = rank[k:] + dt(1)  # 0 = "past end", ranks shifted +1
+        packed = rank * stride + key2
+        order = np.argsort(packed, kind="stable")
+        ps = packed[order]
+        new_rank = np.empty(n, dtype=dt)
+        new_rank[order] = np.concatenate([[0], np.cumsum(ps[1:] != ps[:-1], dtype=dt)])
         rank = new_rank
         sa = order
-        if rank[sa[-1]] == n - 1:
-            break
         k <<= 1
-    return sa
+        levels.append((k, rank))
+    return sa, levels
 
 
-def _kasai_lcp(codes: np.ndarray, sa: np.ndarray) -> np.ndarray:
-    """Kasai LCP array: lcp[i] = LCP(suffix sa[i-1], suffix sa[i])."""
-    n = codes.size
-    rank = np.empty(n, dtype=np.int64)
-    rank[sa] = np.arange(n)
-    lcp = np.zeros(n, dtype=np.int64)
-    h = 0
-    for i in range(n):
-        r = rank[i]
-        if r > 0:
-            j = sa[r - 1]
-            m = n - max(i, j)
-            while h < m and codes[i + h] == codes[j + h]:
-                h += 1
-            lcp[r] = h
-            if h > 0:
-                h -= 1
-        else:
-            h = 0
+def _pairwise_lcp(x: np.ndarray, y: np.ndarray, n: int,
+                  levels: list[tuple[int, np.ndarray]]) -> np.ndarray:
+    """Vectorized LCP of suffix pairs (x[i], y[i]) using the doubling
+    rank levels: walk levels high->low, advancing 2^k where ranks agree.
+    Replaces Kasai's per-character python loop with ~log n array passes
+    (identical results)."""
+    x = x.astype(np.int64).copy()
+    y = y.astype(np.int64).copy()
+    lcp = np.zeros(x.size, dtype=np.int64)
+    for width, rank in reversed(levels):
+        ok = (x < n) & (y < n)
+        idx_x = np.where(ok, x, 0)
+        idx_y = np.where(ok, y, 0)
+        eq = ok & (rank[idx_x] == rank[idx_y])
+        lcp[eq] += width
+        x[eq] += width
+        y[eq] += width
     return lcp
 
 
 def lcs_length(a: str, b: str, max_chars: int = 0) -> int:
-    """Longest-common-substring length via generalized suffix array +
-    Kasai LCP (north_star's suffix-array LCS check, BASELINE.json:6).
+    """Longest-common-substring length via generalized suffix array
+    (north_star's suffix-array LCS check, BASELINE.json:6).
 
-    Builds the suffix array of a#b (with a separator symbol outside the
-    alphabet), computes LCP, and takes the max LCP between adjacent
-    suffixes from different strings."""
+    Builds the suffix array of a#b (separator = unique smallest symbol),
+    then takes the max LCP over adjacent suffix pairs that come from
+    different sides of the separator."""
     if max_chars:
         a, b = a[:max_chars], b[:max_chars]
     if not a or not b:
@@ -225,18 +246,17 @@ def lcs_length(a: str, b: str, max_chars: int = 0) -> int:
     cb = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
     # shift all code points by +1 so symbol 0 is free for the (unique) separator
     codes = np.concatenate([ca + 1, np.zeros(1, dtype=np.int64), cb + 1])
-    sa = _suffix_array(codes)
-    lcp = _kasai_lcp(codes, sa)
+    n = codes.size
+    sa, levels = _suffix_array_levels(codes)
     boundary = len(ca)
     from_a = sa < boundary
-    # adjacent suffixes from different sides of the separator
-    diff = from_a[1:] != from_a[:-1]
-    if not diff.any():
+    diff = np.nonzero(from_a[1:] != from_a[:-1])[0]
+    if diff.size == 0:
         return 0
-    best = int(lcp[1:][diff].max())
-    # LCP can run across the separator only if it matched sep, impossible
-    # (sep occurs once) — but clip to remaining lengths for safety.
-    return best
+    lcp = _pairwise_lcp(sa[diff], sa[diff + 1], n, levels)
+    # a cross-side LCP cannot include the separator (it occurs once), so
+    # it is automatically capped at the true common-substring length
+    return int(lcp.max())
 
 
 def lcs_fraction(a: str, b: str, max_chars: int = 0) -> float:

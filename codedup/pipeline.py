@@ -33,6 +33,7 @@ from codedup.storage import ParquetStorage, SignatureCache
 STAGES = [
     "fingerprint",
     "exact_edges",
+    "reps",
     "signatures",
     "bands",
     "candidates",
@@ -82,7 +83,10 @@ def run(
     files = read_files(spark, *source_paths, langs=langs)
     fp = stage("fingerprint", lambda: fingerprint(files))
     eedges = stage("exact_edges", lambda: exact_edges(fp))
-    reps = representatives(fp)  # derived view; cheap, not checkpointed
+    # materialized: consumed 3x downstream (signatures + both verify
+    # content joins) — deriving it each time would re-shuffle the full
+    # content column through the dedup window every consumer
+    reps = stage("reps", lambda: representatives(fp))
 
     def build_signatures() -> DataFrame:
         cache = SignatureCache(store.root, cfg.fingerprint()) if (store and use_signature_cache) else None

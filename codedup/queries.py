@@ -398,6 +398,251 @@ WHERE list_sum(list_transform(generate_series(1, len(x.embedding)),
 
 
 # ---------------------------------------------------------------------------
+# documents: near-dup clusters + exemplar election (CC + W1/A2/A3)
+# ---------------------------------------------------------------------------
+
+# shared oracle fragment: exact all-pairs jaccard edges at >= 0.8 (the
+# same pair set dedup_minhash_lsh is verified against)
+_SQL_EDGES = f"""
+  sh AS (
+    SELECT DISTINCT doc_id, substr(text, i, {NGRAM_K}) AS g
+    FROM documents,
+         LATERAL (SELECT unnest(generate_series(1, greatest(length(text)-{NGRAM_K - 1}, 1))) AS i) t
+  ), sizes AS (
+    SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+  ), edges AS (
+    SELECT x.doc_id AS a, y.doc_id AS b
+    FROM sh x JOIN sh y USING (g)
+    JOIN sizes sa ON sa.doc_id = x.doc_id
+    JOIN sizes sb ON sb.doc_id = y.doc_id
+    WHERE x.doc_id < y.doc_id
+    GROUP BY 1, 2, sa.n, sb.n
+    HAVING (count(*) * 1000000) // (sa.n + sb.n - count(*)) >= {JACCARD_MIN_PPM}
+  ), ue AS (
+    SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges
+  ), closure AS (
+    -- transitive closure by recursive CTE (small graphs; the Spark side
+    -- uses large-star/small-star for scale)
+    SELECT a, b FROM ue
+    UNION
+    SELECT c.a, e.b FROM closure c JOIN ue e ON c.b = e.a WHERE e.b <> c.a
+  ), membership AS (
+    SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+    FROM closure GROUP BY a
+  )
+"""
+
+
+def _doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, cluster_id) via the engine's CC over verified pairs,
+    cluster_id relabeled to min(doc_id) so ids are comparable with the
+    SQL oracle (internally ids are min file_id — same stability rule,
+    different namespace)."""
+    from codedup.config import DedupConfig
+    from codedup.stages.cluster import connected_components
+
+    pairs = q_dedup_minhash_lsh(spark, sf_dir)
+    edges = pairs.select(F.col("a").alias("u"), F.col("b").alias("v"))
+    cc = connected_components(edges, DedupConfig(shuffle_partitions=16))
+    relabel = cc.groupBy("cluster_id").agg(F.min("file_id").alias("root_doc"))
+    return (
+        cc.join(relabel, "cluster_id")
+        .select(F.col("file_id").alias("doc_id"), F.col("root_doc").alias("cluster_id"))
+    )
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over verified near-dup pairs (the large-
+    star/small-star stage), oracle-checked against a recursive-CTE
+    transitive closure."""
+    return _doc_clusters(spark, sf_dir)
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE {_SQL_EDGES}
+SELECT doc_id, cluster_id FROM membership
+"""
+
+
+def q_cluster_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster keep-best election + savings (W1 + A2/A3: the
+    reference's keep-largest rule, cli.py:29-30, sum-minus-max savings
+    dedup.py:37-44), over the near-dup clusters."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").cast("long").alias("n")
+    )
+    members = _doc_clusters(spark, sf_dir).join(docs, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("n"), F.asc("doc_id"))
+    ranked = members.withColumn("rank", F.row_number().over(w))
+    return ranked.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n").alias("total_chars"),
+        (F.sum("n") - F.max("n")).alias("savings_chars"),
+        F.max(F.when(F.col("rank") == 1, F.col("doc_id"))).alias("keep_doc_id"),
+    )
+
+
+SQL_CLUSTER_SAVINGS = f"""
+WITH RECURSIVE {_SQL_EDGES}
+SELECT m.cluster_id,
+       count(*) AS n_docs,
+       sum(length(d.text))::BIGINT AS total_chars,
+       (sum(length(d.text)) - max(length(d.text)))::BIGINT AS savings_chars,
+       (SELECT d2.doc_id FROM membership m2 JOIN documents d2 ON d2.doc_id = m2.doc_id
+        WHERE m2.cluster_id = m.cluster_id
+        ORDER BY length(d2.text) DESC, d2.doc_id ASC LIMIT 1) AS keep_doc_id
+FROM membership m JOIN documents d ON d.doc_id = m.doc_id
+GROUP BY m.cluster_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# documents: portable SimHash (K3 with a cross-engine hash), lang-id,
+# winnowing-style fingerprint
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 60  # 15 hex chars of md5 -> fits signed 64-bit in both engines
+
+
+def q_simhash_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit token-level SimHash per document, computed RELATIONALLY
+    (explode -> 60 bit-count aggregates -> repack), with a hash function
+    both engines share (first 15 hex chars of md5).  The pipeline's
+    internal SimHash uses splitmix64 (faster); this portable variant is
+    the oracle-checkable twin of kernel K3."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = (
+        docs.select("doc_id", F.explode(F.expr(_TOKENS)).alias("tok"))
+        .distinct()
+        .withColumn("hv", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long"))
+    )
+    aggs = [F.count(F.lit(1)).alias("n")] + [
+        F.sum(F.shiftright(F.col("hv"), j).bitwiseAND(F.lit(1))).alias(f"b{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    packed = " + ".join(
+        f"(CASE WHEN b{j} * 2 > n THEN CAST(1 AS BIGINT) << {j} ELSE CAST(0 AS BIGINT) END)"
+        for j in range(SIMHASH_BITS)
+    )
+    return (
+        toks.groupBy("doc_id").agg(*aggs)
+        .select("doc_id", F.expr(packed).alias("simhash"), F.col("n").alias("n_tokens_distinct"))
+    )
+
+
+def _sql_simhash_tokens() -> str:
+    bit_aggs = ", ".join(f"sum((hv >> {j}) & 1) AS b{j}" for j in range(SIMHASH_BITS))
+    packed = " + ".join(
+        f"(CASE WHEN b{j} * 2 > n THEN (1::BIGINT << {j}) ELSE 0::BIGINT END)"
+        for j in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS tok
+    FROM documents
+  )
+), h AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv FROM toks
+), bits AS (
+  SELECT doc_id, count(*) AS n, {bit_aggs} FROM h GROUP BY 1
+)
+SELECT doc_id, {packed} AS simhash, n AS n_tokens_distinct FROM bits
+"""
+
+
+SQL_SIMHASH_TOKENS = _sql_simhash_tokens()
+
+_STOPSETS = {
+    "en": ["the", "and", "of", "to", "a", "in"],
+    "es": ["el", "la", "de", "los", "que", "y"],
+    "fr": ["le", "les", "des", "et", "un", "la"],
+}
+
+
+def q_lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language identification (n-gram-heuristic class):
+    count token occurrences in per-language stopword sets, argmax with a
+    deterministic tiebreak order (en > es > fr > und)."""
+    docs = _t(spark, sf_dir, "documents")
+    cols = [F.col("doc_id")]
+    for lang, words in _STOPSETS.items():
+        arr = ", ".join(f"'{w}'" for w in words)
+        cols.append(
+            F.expr(
+                f"size(filter({_TOKENS}, x -> array_contains(array({arr}), lower(x))))"
+            ).cast("long").alias(f"{lang}_hits")
+        )
+    scored = docs.select(*cols)
+    return scored.withColumn(
+        "lang_pred",
+        F.expr(
+            "CASE WHEN en_hits >= es_hits AND en_hits >= fr_hits AND en_hits > 0 THEN 'en' "
+            "WHEN es_hits >= fr_hits AND es_hits > 0 THEN 'es' "
+            "WHEN fr_hits > 0 THEN 'fr' ELSE 'und' END"
+        ),
+    )
+
+
+def _sql_lang_id() -> str:
+    hits = []
+    for lang, words in _STOPSETS.items():
+        arr = ", ".join(f"'{w}'" for w in words)
+        hits.append(
+            f"len(list_filter(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''),"
+            f" x -> list_contains([{arr}], lower(x))))::BIGINT AS {lang}_hits"
+        )
+    return f"""
+WITH scored AS (
+  SELECT doc_id, {', '.join(hits)} FROM documents
+)
+SELECT doc_id, en_hits, es_hits, fr_hits,
+       CASE WHEN en_hits >= es_hits AND en_hits >= fr_hits AND en_hits > 0 THEN 'en'
+            WHEN es_hits >= fr_hits AND es_hits > 0 THEN 'es'
+            WHEN fr_hits > 0 THEN 'fr' ELSE 'und' END AS lang_pred
+FROM scored
+"""
+
+
+SQL_LANG_ID_HEURISTIC = _sql_lang_id()
+
+
+def q_doc_minhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint via bottom-sketch over char 8-grams with a
+    portable hash (md5-60bit): min/max gram hash + distinct gram count.
+    The single-value relational analog of the winnowing/rolling-hash
+    fingerprint family (the pipeline's 128-slot MinHash is the full
+    version)."""
+    docs = _t(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"transform(sequence(1, greatest(length(text)-{NGRAM_K - 1}, 1)),"
+                   f" i -> substring(text, i, {NGRAM_K}))")
+        ).alias("g"),
+    ).distinct()
+    h = grams.withColumn("hv", F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("long"))
+    return h.groupBy("doc_id").agg(
+        F.min("hv").alias("fp_min"),
+        F.max("hv").alias("fp_max"),
+        F.count(F.lit(1)).alias("n_grams"),
+    )
+
+
+SQL_DOC_MINHASH_FINGERPRINT = f"""
+WITH grams AS (
+  SELECT DISTINCT doc_id, substr(text, i, {NGRAM_K}) AS g
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(1, greatest(length(text)-{NGRAM_K - 1}, 1))) AS i) t
+), h AS (
+  SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS hv FROM grams
+)
+SELECT doc_id, min(hv) AS fp_min, max(hv) AS fp_max, count(*) AS n_grams
+FROM h GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # relational operator demos on the TPC-H-ish tables (SURVEY §2.2-2.5)
 # ---------------------------------------------------------------------------
 
@@ -538,6 +783,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "text_stats": q_text_stats,
     "token_count_by_lang": q_token_count_by_lang,
+    "simhash_tokens": q_simhash_tokens,
+    "lang_id_heuristic": q_lang_id_heuristic,
+    "doc_minhash_fingerprint": q_doc_minhash_fingerprint,
+    "dedup_clusters": q_dedup_clusters,
+    "cluster_savings": q_cluster_savings,
     "ann_topk_cosine": q_ann_topk_cosine,
     "embedding_similar_pairs": q_embedding_similar_pairs,
     "pricing_summary": q_pricing_summary,
@@ -554,6 +804,11 @@ ORACLES: dict[str, str] = {
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
     "text_stats": SQL_TEXT_STATS,
     "token_count_by_lang": SQL_TOKEN_COUNT_BY_LANG,
+    "simhash_tokens": SQL_SIMHASH_TOKENS,
+    "lang_id_heuristic": SQL_LANG_ID_HEURISTIC,
+    "doc_minhash_fingerprint": SQL_DOC_MINHASH_FINGERPRINT,
+    "dedup_clusters": SQL_DEDUP_CLUSTERS,
+    "cluster_savings": SQL_CLUSTER_SAVINGS,
     "ann_topk_cosine": SQL_ANN_TOPK_COSINE,
     "embedding_similar_pairs": SQL_EMBEDDING_SIMILAR_PAIRS,
     "pricing_summary": SQL_PRICING_SUMMARY,

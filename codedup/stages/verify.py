@@ -51,14 +51,27 @@ def verify_pairs(pairs: DataFrame, reps: DataFrame, sigs: DataFrame, cfg: DedupC
     k, norm = cfg.shingle_k, cfg.normalize_ws
     j_min, lcs_min, lcs_cap = cfg.jaccard_threshold, cfg.lcs_min_frac, cfg.lcs_max_chars
 
-    sim = sigs.select("file_id", "simhash")
+    sim = sigs.select("file_id", "simhash", "minhash")
     with_sim = (
         pairs
-        .join(sim.select(F.col("file_id").alias("a"), F.col("simhash").alias("sim_a")), "a")
-        .join(sim.select(F.col("file_id").alias("b"), F.col("simhash").alias("sim_b")), "b")
+        .join(sim.select(F.col("file_id").alias("a"), F.col("simhash").alias("sim_a"),
+                         F.col("minhash").alias("mh_a")), "a")
+        .join(sim.select(F.col("file_id").alias("b"), F.col("simhash").alias("sim_b"),
+                         F.col("minhash").alias("mh_b")), "b")
         .withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("int"))
         .drop("sim_a", "sim_b")
     )
+    if cfg.minhash_prefilter_margin is not None:
+        # cheap JVM prefilter: MinHash-estimated Jaccard (slot agreement
+        # fraction) must clear threshold - margin before we pay for the
+        # content join + Python-side exact verification
+        est_min = max(0.0, cfg.jaccard_threshold - cfg.minhash_prefilter_margin)
+        agree = (
+            "aggregate(zip_with(mh_a, mh_b, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END),"
+            " 0, (acc, v) -> acc + v)"
+        )
+        with_sim = with_sim.filter(F.expr(agree) >= F.lit(est_min * cfg.num_perm))
+    with_sim = with_sim.drop("mh_a", "mh_b")
     if cfg.simhash_hamming_max is not None and cfg.simhash_prefilter:
         with_sim = with_sim.filter(F.col("hamming") <= cfg.simhash_hamming_max)
 
@@ -68,6 +81,11 @@ def verify_pairs(pairs: DataFrame, reps: DataFrame, sigs: DataFrame, cfg: DedupC
         .join(content.select(F.col("file_id").alias("a"), F.col("content").alias("content_a")), "a")
         .join(content.select(F.col("file_id").alias("b"), F.col("content").alias("content_b")), "b")
         .select("a", "b", "hamming", "content_a", "content_b")
+        # Explicit repartition: AQE's advisory-size coalescing would shrink
+        # this shuffle to ~8 partitions (64 MB each) and cap the Python
+        # verify stage's parallelism; verification is CPU-bound per pair,
+        # not bytes-bound, so spread it across all cores.
+        .repartition(cfg.shuffle_partitions)
     )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -29,7 +29,7 @@ import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
+
 
 
 class ParquetStorage:
@@ -73,19 +73,25 @@ class ParquetStorage:
         path = self.stage_dir(stage)
         df.write.mode("overwrite").parquet(path)
         out = df.sparkSession.read.parquet(path)
-        # per-partition lineage: rows per parquet-scan partition
-        per_part = (
-            out.groupBy(F.spark_partition_id().alias("partition_id"))
-            .agg(F.count(F.lit(1)).alias("rows"))
-            .collect()
-        )
+        # per-partition lineage from parquet footers (one file per write
+        # task) — metadata-only, no extra Spark job
+        import glob
+
+        import pyarrow.parquet as pq
+
+        part_files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        per_part = {
+            os.path.basename(f).split("-")[1][:5] if "-" in os.path.basename(f) else str(i):
+                pq.ParquetFile(f).metadata.num_rows
+            for i, f in enumerate(part_files)
+        }
         manifest = {
             "stage": stage,
             "run_id": self.run_id,
             "config_fp": self.config_fp,
-            "rows": int(sum(r["rows"] for r in per_part)),
+            "rows": int(sum(per_part.values())),
             "n_partitions": len(per_part),
-            "partitions": {str(r["partition_id"]): int(r["rows"]) for r in per_part},
+            "partitions": {k: int(v) for k, v in per_part.items()},
             "wall_ms": int((time.time() - t0) * 1000),
             **(extra or {}),
         }

@@ -1,0 +1,143 @@
+"""Streaming surface: incremental near-duplicate detection.
+
+The reference is batch-with-resume (SURVEY §2.7) — its incremental unit
+is one file (cache.py:122-126).  This module exposes the same
+semantics over Structured Streaming: new file rows arrive on a stream,
+each micro-batch is deduplicated BOTH against itself and against
+everything seen before, and all state lives in the same checkpoint
+tables the batch pipeline uses (signature cache + cumulative bands +
+verified pairs) — so a streaming job and a batch job are
+interchangeable views of one incremental computation.
+
+Shape: ``readStream`` (file source) → ``foreachBatch``: inside each
+batch we reuse the exact batch-stage functions (fingerprint,
+signatures, banding, verify) — no separate streaming implementations to
+drift out of sync.  State tables:
+
+    <work>/stream/signatures/   all signatures seen (append-only)
+    <work>/stream/bands/        all band rows seen (append-only)
+    <work>/stream/pairs/        verified pairs (append-only)
+
+New-batch candidates = (new bands ⋈ new bands) ∪ (new bands ⋈ old
+bands): each arriving file is compared against the full history via the
+band-hash index, never all-pairs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from codedup.config import DedupConfig
+from codedup.stages.banding import band_rows
+from codedup.stages.candidates import candidate_pairs
+from codedup.stages.exact import representatives
+from codedup.stages.fingerprint import fingerprint
+from codedup.stages.ingest import FILES_SCHEMA
+from codedup.stages.signatures import compute_signatures
+from codedup.stages.verify import verify_pairs
+
+
+class IncrementalDedup:
+    """foreachBatch processor with append-only state tables."""
+
+    def __init__(self, spark: SparkSession, work_dir: str, cfg: DedupConfig | None = None):
+        self.spark = spark
+        self.cfg = cfg or DedupConfig()
+        self.root = os.path.join(work_dir, "stream")
+        self.sig_dir = os.path.join(self.root, "signatures")
+        self.bands_dir = os.path.join(self.root, "bands")
+        self.pairs_dir = os.path.join(self.root, "pairs")
+        self.content_dir = os.path.join(self.root, "contents")
+
+    # --- state access ---
+    def _read_or_none(self, path: str) -> DataFrame | None:
+        if not os.path.isdir(path):
+            return None
+        return self.spark.read.parquet(path)
+
+    def signatures(self) -> DataFrame | None:
+        return self._read_or_none(self.sig_dir)
+
+    def pairs(self) -> DataFrame:
+        df = self._read_or_none(self.pairs_dir)
+        if df is None:
+            return self.spark.createDataFrame(
+                [], "a long, b long, jaccard double, n_inter long, n_union long,"
+                    " hamming int, lcs_frac double, kind string"
+            )
+        return df
+
+    # --- the batch function ---
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        cfg = self.cfg
+        fp = fingerprint(batch).localCheckpoint(eager=True)
+        reps = representatives(fp)
+
+        seen = self.signatures()
+        old_contents = self._read_or_none(self.content_dir)
+        # cross-batch exact-dup collapse (P3 across time): a content whose
+        # sha256 is already in history is not re-signed — its duplicate
+        # relationship is recoverable from fingerprints by sha, exactly
+        # like within-batch exact groups
+        new_reps = reps.select("file_id", "sha256", "content")
+        if old_contents is not None:
+            new_reps = new_reps.join(
+                old_contents.select("sha256"), "sha256", "left_anti"
+            )
+        new_reps = new_reps.select("file_id", "content", "sha256")
+        if seen is not None:
+            new_reps = new_reps.join(seen.select("file_id"), "file_id", "left_anti")
+        new_sigs = compute_signatures(
+            new_reps.select("file_id", "content"), cfg
+        ).localCheckpoint(eager=True)
+        new_bands = band_rows(new_sigs, cfg).localCheckpoint(eager=True)
+
+        old_bands = self._read_or_none(self.bands_dir)
+        # candidates: new x new (within batch) ∪ new x history
+        cands = candidate_pairs(new_bands, cfg)
+        if old_bands is not None:
+            cross = (
+                new_bands.join(old_bands, ["band", "band_hash"])
+                .select(
+                    F.least(new_bands["file_id"], old_bands["file_id"]).alias("a"),
+                    F.greatest(new_bands["file_id"], old_bands["file_id"]).alias("b"),
+                )
+                .filter(F.col("a") != F.col("b"))
+                .dropDuplicates(["a", "b"])
+            )
+            cands = cands.unionByName(cross).dropDuplicates(["a", "b"])
+
+        # content for verification: this batch's new reps ∪ stored history
+        contents = new_reps.select("file_id", "content")
+        if old_contents is not None:
+            contents = contents.unionByName(old_contents.select("file_id", "content"))
+        all_sigs = new_sigs if seen is None else seen.unionByName(new_sigs)
+        verified = verify_pairs(cands, contents, all_sigs, cfg)
+
+        # commit state (append-only)
+        verified.write.mode("append").parquet(self.pairs_dir)
+        new_sigs.write.mode("append").parquet(self.sig_dir)
+        new_bands.write.mode("append").parquet(self.bands_dir)
+        new_reps.select("file_id", "content", "sha256").write.mode("append").parquet(
+            self.content_dir
+        )
+
+    def start(self, source_dir: str, checkpoint_dir: str | None = None,
+              trigger_once: bool = True):
+        """File-source stream over a directory of parquet drops."""
+        stream = (
+            self.spark.readStream.schema(FILES_SCHEMA)
+            .option("maxFilesPerTrigger", 4)
+            .parquet(source_dir)
+        )
+        writer = (
+            stream.writeStream
+            .foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint_dir or os.path.join(self.root, "_chk"))
+        )
+        if trigger_once:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
