@@ -643,6 +643,153 @@ FROM h GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# embeddings: LSH-bucketed ANN (the scale path) + nearest-centroid
+# classifier (feedback-model analog, feedback.py:176-236)
+# ---------------------------------------------------------------------------
+
+ANN_PLANES = 6     # random hyperplanes -> 2^6 buckets
+ANN_DIM = 64
+ANN_PROBE_HAMMING = 1  # probe buckets within Hamming distance 1
+
+
+def _ann_planes() -> list[list[float]]:
+    """Deterministic random hyperplanes, shared verbatim by the Spark
+    implementation and the generated oracle SQL."""
+    import numpy as np
+
+    rng = np.random.default_rng(1234)
+    planes = rng.standard_normal((ANN_PLANES, ANN_DIM))
+    return [[round(float(x), 6) for x in p] for p in planes]
+
+
+def _bucket_expr(col: str, base: int) -> str:
+    """Packed sign bits of the embedding's dot products with the literal
+    hyperplanes.  ``base``: array index origin (Spark SQL = 0,
+    DuckDB = 1) — the arithmetic is otherwise engine-identical."""
+    parts = []
+    for j, plane in enumerate(_ann_planes()):
+        terms = " + ".join(f"{col}[{i + base}] * ({w})" for i, w in enumerate(plane) if w != 0.0)
+        parts.append(f"(CASE WHEN ({terms}) > 0 THEN {1 << j} ELSE 0 END)")
+    return "(" + " + ".join(parts) + ")"
+
+
+def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-random-projection LSH ANN: embeddings are bucketed by the
+    sign pattern of 6 hyperplane projections; each probe searches only
+    buckets within Hamming distance 1 of its own (multi-probe), ranked
+    by (cosine rounded to 6, vec_id).  This is the 10^12-row path —
+    candidate count per probe is ~n/2^planes * (1+planes) instead of n.
+    Exactly reproduced by the oracle (identical literal hyperplanes)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    bcol = F.expr(_bucket_expr("embedding", base=0)).cast("long")
+    dot = "aggregate(zip_with(qa, eb, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+    norm = "sqrt(aggregate(transform({0}, x -> x * x), 0D, (acc, v) -> acc + v))"
+    all_b = emb.select(F.col("vec_id").alias("neighbor_id"),
+                       F.col("embedding").alias("eb"), bcol.alias("nb"))
+    probes = (
+        emb.filter(F.col("vec_id") % 50 == 0)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qa"),
+                bcol.alias("qb"))
+    )
+    cand = (
+        probes.join(
+            all_b,
+            F.bit_count(F.col("qb").bitwiseXOR(F.col("nb"))) <= ANN_PROBE_HAMMING,
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim6", F.round(
+            F.expr(dot) / (F.expr(norm.format("qa")) * F.expr(norm.format("eb"))), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim6"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def _sql_ann_lsh() -> str:
+    b = _bucket_expr("embedding", base=1)
+    return f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding, {b}::BIGINT AS bkt FROM embeddings
+), probes AS (
+  SELECT vec_id AS query_id, embedding AS qa, bkt AS qb FROM bucketed WHERE vec_id % 50 = 0
+), cand AS (
+  SELECT p.query_id, e.vec_id AS neighbor_id,
+         round(
+           list_sum(list_transform(generate_series(1, len(p.qa)),
+                                   i -> p.qa[i]::DOUBLE * e.embedding[i]::DOUBLE))
+           / (sqrt(list_sum(list_transform(p.qa, x -> x::DOUBLE * x::DOUBLE)))
+              * sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))),
+           6) AS sim6
+  FROM probes p JOIN bucketed e
+    ON bit_count(xor(p.qb, e.bkt)) <= {ANN_PROBE_HAMMING}
+   AND e.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, rank::INT AS rank
+FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim6 DESC, neighbor_id) AS rank
+  FROM cand
+)
+WHERE rank <= 5
+"""
+
+
+SQL_ANN_LSH_BUCKETED = _sql_ann_lsh()
+
+
+def q_label_centroid_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classifier over the labeled embeddings — the
+    relational analog of the reference's feedback preference model
+    (logistic regression on stored embeddings, feedback.py:176-236):
+    train = per-label mean vector, predict = argmin distance.  Fully
+    relational (explode by position -> centroid avg -> score), ranked
+    by (rounded distance, label) for cross-engine determinism."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pos = emb.select(
+        "vec_id", "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "x"),
+    )
+    centroids = pos.groupBy("label", "i").agg(F.avg("x").alias("c"))
+    scored = (
+        pos.withColumnRenamed("label", "true_label")
+        .join(centroids.withColumnRenamed("label", "cand_label"), "i")
+        .groupBy("vec_id", "true_label", "cand_label")
+        .agg(F.round(F.sum((F.col("x") - F.col("c")) ** 2), 6).alias("dist6"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("dist6"), F.asc("cand_label"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "true_label", F.col("cand_label").alias("pred_label"))
+    )
+
+
+SQL_LABEL_CENTROID_CLASSIFIER = """
+WITH pos AS (
+  SELECT vec_id, label, i, embedding[i]::DOUBLE AS x
+  FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) t
+), centroids AS (
+  SELECT label AS cand_label, i, avg(x) AS c FROM pos GROUP BY 1, 2
+), scored AS (
+  SELECT p.vec_id, p.label AS true_label, c.cand_label,
+         round(sum((p.x - c.c) * (p.x - c.c)), 6) AS dist6
+  FROM pos p JOIN centroids c USING (i)
+  GROUP BY 1, 2, 3
+)
+SELECT vec_id, true_label, cand_label AS pred_label
+FROM (
+  SELECT vec_id, true_label, cand_label,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist6 ASC, cand_label ASC) AS rn
+  FROM scored
+)
+WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # relational operator demos on the TPC-H-ish tables (SURVEY §2.2-2.5)
 # ---------------------------------------------------------------------------
 
@@ -789,7 +936,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": q_dedup_clusters,
     "cluster_savings": q_cluster_savings,
     "ann_topk_cosine": q_ann_topk_cosine,
+    "ann_lsh_bucketed": q_ann_lsh_bucketed,
     "embedding_similar_pairs": q_embedding_similar_pairs,
+    "label_centroid_classifier": q_label_centroid_classifier,
     "pricing_summary": q_pricing_summary,
     "top_orders_per_customer": q_top_orders_per_customer,
     "customers_without_orders": q_customers_without_orders,
@@ -810,7 +959,9 @@ ORACLES: dict[str, str] = {
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "cluster_savings": SQL_CLUSTER_SAVINGS,
     "ann_topk_cosine": SQL_ANN_TOPK_COSINE,
+    "ann_lsh_bucketed": SQL_ANN_LSH_BUCKETED,
     "embedding_similar_pairs": SQL_EMBEDDING_SIMILAR_PAIRS,
+    "label_centroid_classifier": SQL_LABEL_CENTROID_CLASSIFIER,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "top_orders_per_customer": SQL_TOP_ORDERS_PER_CUSTOMER,
     "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
