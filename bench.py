@@ -24,10 +24,16 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_exact",
+    "dedup_clusters",
+    "simhash_tokens",
+    "doc_minhash_fingerprint",
     "text_stats",
     "token_count_by_lang",
+    "lang_id_heuristic",
     "ann_topk_cosine",
+    "ann_lsh_bucketed",
     "embedding_similar_pairs",
+    "label_centroid_classifier",
     "pricing_summary",
     "top_orders_per_customer",
     "revenue_by_nation",

@@ -163,10 +163,13 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cfg = DOCS_CFG
     files = _docs_as_files(_t(spark, sf_dir, "documents"))
-    fp = fingerprint(files).localCheckpoint(eager=False)
-    reps = representatives(fp)
-    sigs = compute_signatures(reps.select("file_id", "content"), cfg)
-    cands = candidate_pairs(band_rows(sigs, cfg), cfg)
+    # eager localCheckpoints at every multi-consumer branch point: the
+    # lazy plan would otherwise re-run the signature UDF once per branch
+    # (bucket sizing, both verify joins, ...)
+    fp = fingerprint(files).localCheckpoint(eager=True)
+    reps = representatives(fp).localCheckpoint(eager=True)
+    sigs = compute_signatures(reps.select("file_id", "content"), cfg).localCheckpoint(eager=True)
+    cands = candidate_pairs(band_rows(sigs, cfg), cfg).localCheckpoint(eager=True)
     verified = verify_pairs(cands, reps, sigs, cfg)
 
     ids = fp.select("file_id", F.col("path").cast("long").alias("doc_id"))

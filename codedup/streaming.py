@@ -40,6 +40,47 @@ from codedup.stages.signatures import compute_signatures
 from codedup.stages.verify import verify_pairs
 
 
+def windowed_event_counts(spark: SparkSession, source_dir: str,
+                          checkpoint_dir: str,
+                          window: str = "1 day",
+                          watermark: str = "1 day"):
+    """Event-time windowed rollup with a watermark over the events
+    stream table (SURVEY §2.7's "if a streaming surface is added" path):
+    readStream -> withWatermark -> window().groupBy -> counts.  Late
+    rows beyond the watermark are dropped by the engine; state for
+    closed windows is evicted.  Returns the started query writing to an
+    in-memory sink named 'event_counts' (tests/demo; production would
+    write a table)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ])
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type", "n_events", "sum_value",
+        )
+    )
+    return (
+        agg.writeStream.outputMode("complete")
+        .format("memory").queryName("event_counts")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 class IncrementalDedup:
     """foreachBatch processor with append-only state tables."""
 

@@ -55,6 +55,39 @@ def test_incremental_equals_batch(spark, drops, cfg, tmp_path):
     )
 
 
+def test_windowed_event_counts_match_batch(spark, tmp_path):
+    """Watermarked streaming window agg over events == batch groupBy
+    over the same data (all rows within watermark in this replay)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from codedup.streaming import windowed_event_counts
+
+    src = str(tmp_path / "events_src")
+    import os
+    os.makedirs(src)
+    shutil.copy("/root/testdata/sf0.001/events.parquet", src + "/events.parquet")
+
+    q = windowed_event_counts(spark, src, str(tmp_path / "chk"))
+    q.awaitTermination(300)
+    got = (
+        spark.table("event_counts").toPandas()
+        .sort_values(["window_start", "event_type"], ignore_index=True)
+    )
+    batch = (
+        spark.read.parquet(src)
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+                "event_type", "n_events", "sum_value")
+        .toPandas()
+        .sort_values(["window_start", "event_type"], ignore_index=True)
+    )
+    assert got.equals(batch)
+    assert len(got) > 10
+
+
 def test_streaming_state_tables_exist(spark, drops, cfg, tmp_path_factory):
     # state dirs created by the previous test's module-scoped stream work
     # are not shared (tmp_path differs); run a tiny standalone check
