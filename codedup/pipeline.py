@@ -74,9 +74,12 @@ def run(
             if resume and not dirty and store.is_complete(name):
                 return store.read(spark, name)
             dirty = True
+            import time as _time
+
+            t0 = _time.time()
             df = build()
             recomputed.append(name)
-            return store.write(df, name)
+            return store.write(df, name, t_start=t0)
         recomputed.append(name)
         return build()
 

@@ -65,11 +65,14 @@ class ParquetStorage:
         with open(self.manifest_path(stage)) as f:
             return json.load(f)
 
-    def write(self, df: DataFrame, stage: str, extra: dict | None = None) -> DataFrame:
+    def write(self, df: DataFrame, stage: str, extra: dict | None = None,
+              t_start: float | None = None) -> DataFrame:
         """Write stage output + manifest; returns the re-read DataFrame
         (reading back cuts lineage like a checkpoint and ensures all
-        downstream consumers share one materialization)."""
-        t0 = time.time()
+        downstream consumers share one materialization).  ``t_start``:
+        when the stage's build began (so wall_ms covers eager work the
+        build did — e.g. CC iterations — not just the write)."""
+        t0 = t_start if t_start is not None else time.time()
         path = self.stage_dir(stage)
         df.write.mode("overwrite").parquet(path)
         out = df.sparkSession.read.parquet(path)
