@@ -13,6 +13,7 @@ here the tuning surface is DedupConfig and resume is the default.
 from __future__ import annotations
 
 import argparse
+import os
 import json
 import sys
 
@@ -68,6 +69,12 @@ def main(argv: list[str] | None = None) -> int:
         # under spark-submit a master is already configured; standalone we
         # default to all local cores
         master = None if SparkContext._active_spark_context else "local[*]"
+
+    for p in args.source:
+        probe = p.rstrip("/")
+        if "://" not in probe and not os.path.exists(probe):
+            print(f"error: source not found: {p}", file=sys.stderr)
+            return 2
 
     spark = build_session(master, app_name=f"codedup-{args.run_id}", config=cfg)
     spark.sparkContext.setLogLevel("WARN")

@@ -24,13 +24,14 @@ from codedup.stages.candidates import candidate_pairs
 from codedup.stages.cluster import connected_components
 from codedup.stages.exact import exact_edges, representatives
 from codedup.stages.fingerprint import fingerprint
-from codedup.stages.ingest import read_files
-from codedup.stages.report import rank_members, summary
+from codedup.stages.ingest import read_files, split_invalid
+from codedup.stages.report import action_plan, rank_members, summary
 from codedup.stages.signatures import compute_signatures
 from codedup.stages.verify import verify_pairs
 from codedup.storage import ParquetStorage, SignatureCache
 
 STAGES = [
+    "errors",
     "fingerprint",
     "exact_edges",
     "reps",
@@ -40,6 +41,7 @@ STAGES = [
     "verified",
     "clusters",
     "members",
+    "actions",
 ]
 
 
@@ -49,6 +51,7 @@ class PipelineResult:
     clusters: DataFrame      # (file_id, cluster_id) for files in any dup group
     members: DataFrame       # clusters ⋈ metadata + rank (1 = keep)
     verified: DataFrame      # verified near-dup pairs with signals
+    actions: DataFrame       # declarative keep/dedup/review plan (S10)
     report: dict
     recomputed_stages: list[str] = field(default_factory=list)
 
@@ -83,7 +86,9 @@ def run(
         recomputed.append(name)
         return build()
 
-    files = read_files(spark, *source_paths, langs=langs)
+    files, ingest_errors = split_invalid(read_files(spark, *source_paths, langs=langs))
+    if store is not None:
+        stage("errors", lambda: ingest_errors)
     fp = stage("fingerprint", lambda: fingerprint(files))
     eedges = stage("exact_edges", lambda: exact_edges(fp))
     # materialized: consumed 3x downstream (signatures + both verify
@@ -121,6 +126,8 @@ def run(
 
     clusters = stage("clusters", build_clusters)
     members = stage("members", lambda: rank_members(clusters, fp))
+    actions = stage("actions", lambda: action_plan(members)) if store is not None \
+        else action_plan(members)
     rep = summary(fp, members)
 
     if store is not None:
@@ -132,6 +139,7 @@ def run(
         clusters=clusters,
         members=members,
         verified=verified,
+        actions=actions,
         report=rep,
         recomputed_stages=recomputed,
     )

@@ -889,6 +889,43 @@ GROUP BY 1
 """
 
 
+def q_big_customers_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (the other half of the reference's seen-set
+    semantics, S2/P5): customers that DO have a >200k order — semi keeps
+    left columns only, no duplication however many orders match."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200_000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+SQL_BIG_CUSTOMERS_SEMI = """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+"""
+
+
+def q_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 analog (per-person unique-image count, classifier.py:280-307):
+    exact distinct-user count + event volume per event type."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+SQL_USER_ACTIVITY = """
+SELECT event_type,
+       count(DISTINCT user_id) AS n_users,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1
+"""
+
+
 def q_events_daily_top_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time daily rollup + per-day top-3 types (A4 + W1 over the
     events stream table; batch view of the streaming rollup)."""
@@ -945,6 +982,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "top_orders_per_customer": q_top_orders_per_customer,
     "customers_without_orders": q_customers_without_orders,
+    "big_customers_semi": q_big_customers_semi,
+    "user_activity": q_user_activity,
     "revenue_by_nation": q_revenue_by_nation,
     "events_daily_top_types": q_events_daily_top_types,
 }
@@ -968,6 +1007,8 @@ ORACLES: dict[str, str] = {
     "pricing_summary": SQL_PRICING_SUMMARY,
     "top_orders_per_customer": SQL_TOP_ORDERS_PER_CUSTOMER,
     "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
+    "big_customers_semi": SQL_BIG_CUSTOMERS_SEMI,
+    "user_activity": SQL_USER_ACTIVITY,
     "revenue_by_nation": SQL_REVENUE_BY_NATION,
     "events_daily_top_types": SQL_EVENTS_DAILY_TOP_TYPES,
 }

@@ -37,3 +37,28 @@ def read_files(spark: SparkSession, *paths: str, langs: list[str] | None = None)
     if len(dfs) > 1:
         df = df.dropDuplicates(["repo", "path", "commit"])
     return df
+
+
+def split_invalid(files: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Errors side-channel (the reference appends IO errors to a list,
+    dedup.py:121-122; SURVEY §1.2 maps this to an errors side-output
+    table — rows are never silently dropped).
+
+    Returns (valid, errors) where errors carries (repo, path, commit,
+    stage, message) for rows with null/empty key columns or null
+    content."""
+    bad_key = (
+        F.col("repo").isNull() | F.col("path").isNull() | F.col("commit").isNull()
+        | (F.col("repo") == "") | (F.col("path") == "")
+    )
+    bad_content = F.col("content").isNull()
+    errors = (
+        files.filter(bad_key | bad_content)
+        .select(
+            "repo", "path", "commit",
+            F.lit("ingest").alias("stage"),
+            F.when(bad_content, F.lit("null content"))
+            .otherwise(F.lit("null/empty key column")).alias("message"),
+        )
+    )
+    return files.filter(~(bad_key | bad_content)), errors

@@ -45,6 +45,37 @@ def cluster_stats(ranked: DataFrame) -> DataFrame:
     )
 
 
+def action_plan(ranked: DataFrame) -> DataFrame:
+    """S10/S12 analog: the reference MOVES duplicate files to a review
+    folder (cli.py:240-282) / organizes by category (classify_server.py:
+    382-451).  The engine never mutates storage; it emits a declarative
+    action table a downstream job can apply idempotently:
+
+        keep    rank 1 (the exemplar)
+        dedup   rank > 1, byte-identical to the exemplar's content
+        review  rank > 1, near-duplicate (human-or-policy decision)
+    """
+    keep = ranked.filter(F.col("rank") == 1).select(
+        "cluster_id", F.col("sha256").alias("_keep_sha")
+    )
+    return (
+        ranked.join(keep, "cluster_id")
+        .withColumn(
+            "action",
+            F.when(F.col("rank") == 1, F.lit("keep"))
+            .when(F.col("sha256") == F.col("_keep_sha"), F.lit("dedup"))
+            .otherwise(F.lit("review")),
+        )
+        .withColumn(
+            "reason",
+            F.when(F.col("rank") == 1, F.lit("largest member (keep-best election)"))
+            .when(F.col("sha256") == F.col("_keep_sha"), F.lit("byte-identical to kept file"))
+            .otherwise(F.lit("near-duplicate of kept file")),
+        )
+        .select("file_id", "key", "cluster_id", "rank", "action", "reason")
+    )
+
+
 def summary(fp: DataFrame, ranked: DataFrame) -> dict:
     """Driver-side small dict mirroring the reference report summary
     (report1.json:4-17).  Two aggregate jobs total."""

@@ -34,11 +34,11 @@ def test_full_resume_recomputes_nothing(spark, tiny, cfg, work):
 
 def test_partial_resume_from_failed_stage(spark, tiny, cfg, work):
     """Simulate a crash after 'candidates': delete later manifests; the
-    rerun must recompute only verified -> clusters -> members."""
-    for stage in ("verified", "clusters", "members"):
+    rerun must recompute only verified -> clusters -> members -> actions."""
+    for stage in ("verified", "clusters", "members", "actions"):
         os.remove(os.path.join(work["dir"], "runs", "r", f"{stage}.manifest.json"))
     r3 = pipeline.run(spark, [tiny["paths"]["files"]], cfg, work_dir=work["dir"], run_id="r")
-    assert r3.recomputed_stages == ["verified", "clusters", "members"]
+    assert r3.recomputed_stages == ["verified", "clusters", "members", "actions"]
 
 
 def test_manifests_record_lineage(work, cfg):
