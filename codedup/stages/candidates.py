@@ -27,35 +27,39 @@ correspond to the a<b normalization + distinct here.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from codedup.config import DedupConfig
 
 
 def candidate_pairs(bands: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """(file_id, band, band_hash) -> distinct (a, b) with a < b."""
+    """(file_id, band, band_hash) -> distinct (a, b) with a < b.
+
+    One shuffle sizes AND annotates every bucket (window count + window
+    min over the band-hash partitioning — the explicit repartitioning by
+    band-hash the north_star asks for IS this window's exchange);
+    size-1 buckets (the vast majority) are dropped before any join, hot
+    buckets emit star pairs with no extra join."""
     cap = cfg.band_bucket_cap
-    sizes = bands.groupBy("band", "band_hash").agg(F.count(F.lit(1)).alias("bsz"))
+    w = Window.partitionBy("band", "band_hash")
     sized = (
-        bands.join(sizes.filter(F.col("bsz") > 1), ["band", "band_hash"])
-        .repartition(F.col("band_hash"))
+        bands
+        .withColumn("bsz", F.count(F.lit(1)).over(w))
+        .withColumn("rep", F.min("file_id").over(w))
+        .filter(F.col("bsz") > 1)
     )
 
-    small = sized.filter(F.col("bsz") <= cap).drop("bsz")
-    left = small.select("band", "band_hash", F.col("file_id").alias("a"))
-    right = small.select("band", "band_hash", F.col("file_id").alias("b"))
+    small = sized.filter(F.col("bsz") <= cap).select("band", "band_hash", "file_id")
     pairs_small = (
-        left.join(right, ["band", "band_hash"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
+        small.alias("x")
+        .join(small.alias("y"), ["band", "band_hash"])
+        .filter(F.col("x.file_id") < F.col("y.file_id"))
+        .select(F.col("x.file_id").alias("a"), F.col("y.file_id").alias("b"))
     )
 
-    hot = sized.filter(F.col("bsz") > cap).drop("bsz")
-    hot_min = hot.groupBy("band", "band_hash").agg(F.min("file_id").alias("rep"))
     pairs_hot = (
-        hot.join(hot_min, ["band", "band_hash"])
-        .filter(F.col("file_id") != F.col("rep"))
+        sized.filter((F.col("bsz") > cap) & (F.col("file_id") != F.col("rep")))
         .select(F.col("rep").alias("a"), F.col("file_id").alias("b"))
     )
 
