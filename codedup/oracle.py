@@ -75,8 +75,13 @@ def run_oracle(files: pd.DataFrame, cfg: DedupConfig | None = None) -> OracleRes
             rep_keys.append(k)
             rep_content[k] = c
 
+    norm_content = {
+        k: (K.normalize_text(rep_content[k]) if cfg.normalize_ws else rep_content[k])
+        for k in rep_keys
+    }
     shingles = {
-        k: K.shingle_hashes(rep_content[k], cfg.shingle_k, cfg.normalize_ws) for k in rep_keys
+        k: K.shingle_hashes(norm_content[k], cfg.shingle_k, normalize_ws=False)
+        for k in rep_keys
     }
     simhash = {k: K.simhash64(shingles[k]) for k in rep_keys}
 
@@ -89,7 +94,8 @@ def run_oracle(files: pd.DataFrame, cfg: DedupConfig | None = None) -> OracleRes
             jac = K.exact_jaccard(shingles[ka], shingles[kb])
             if jac < cfg.jaccard_threshold:
                 continue
-            lf = K.lcs_fraction(rep_content[ka], rep_content[kb], cfg.lcs_max_chars)
+            ta, tb = norm_content[ka], norm_content[kb]
+            lf = 1.0 if ta == tb else K.lcs_fraction(ta, tb, cfg.lcs_max_chars)
             if lf < cfg.lcs_min_frac:
                 continue
             a, b = sorted((ka, kb))

@@ -10,11 +10,14 @@ check, dedup.py:220-227, split into cheap->expensive tiers):
               prefilter by default (protects the 0.99 recall bar).
   jaccard   — exact Jaccard over the true shingle sets (K10); the
               primary accept/reject filter.
-  lcs_frac  — suffix-array longest-common-substring / min(len)
-              (K11, north_star's confirmation signal); computed only
-              for pairs that already pass the Jaccard threshold, with
-              content capped at lcs_max_chars, so its O(n log n) cost
-              is bounded and only spent on accepted pairs.
+  lcs_frac  — suffix-array longest-common-substring / min(len), over
+              the NORMALIZED content when normalize_ws is set (K11,
+              north_star's confirmation signal — the similarity notion
+              throughout the pipeline is over normalized text);
+              computed only for pairs that already pass the Jaccard
+              threshold, with content capped at lcs_max_chars and a
+              string-equality fast path, so its O(n log n) cost is
+              bounded and only spent on non-identical accepted pairs.
 
 Contents are re-joined by file_id only for candidate ids (semi-join
 pattern) so shuffled bytes stay proportional to candidates, not corpus.
@@ -96,13 +99,19 @@ def verify_pairs(pairs: DataFrame, reps: DataFrame, sigs: DataFrame, cfg: DedupC
             for a, b, ham, ca, cb in zip(
                 pdf["a"], pdf["b"], pdf["hamming"], pdf["content_a"], pdf["content_b"]
             ):
-                sa = K.shingle_hashes(ca, k, normalize_ws=norm)
-                sb = K.shingle_hashes(cb, k, normalize_ws=norm)
+                # normalize ONCE; every signal below (shingles, LCS) is
+                # defined over the normalized text — so trivially-
+                # reformatted pairs are string-equal here and skip the
+                # O(n log n) suffix array entirely
+                ta = K.normalize_text(ca) if norm else ca
+                tb = K.normalize_text(cb) if norm else cb
+                sa = K.shingle_hashes(ta, k, normalize_ws=False)
+                sb = K.shingle_hashes(tb, k, normalize_ws=False)
                 inter, union = K.jaccard_counts(sa, sb)
                 j = 1.0 if union == 0 else inter / float(union)
                 if j < j_min:
                     continue
-                lf = K.lcs_fraction(ca, cb, max_chars=lcs_cap)
+                lf = 1.0 if ta == tb else K.lcs_fraction(ta, tb, max_chars=lcs_cap)
                 if lf < lcs_min:
                     continue
                 rows["a"].append(a)
