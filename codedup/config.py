@@ -50,7 +50,12 @@ class DedupConfig:
     lcs_max_chars: int = 20000        # cap per-side content length for LCS (cost bound)
 
     # --- skew handling (SURVEY §4.2) ---
-    band_bucket_cap: int = 64     # buckets larger than this use star-collapse, not all-pairs
+    band_bucket_cap: int = 64     # buckets larger than this are "hot"
+    # hot-bucket strategy: "star" pairs members with the bucket min only
+    # (O(k), preserves cluster membership); "salted" keeps COMPLETE pair
+    # coverage but spreads the O(k^2) join over salt_buckets^2 tasks
+    hot_bucket_mode: str = "star"
+    salt_buckets: int = 8
 
     # --- execution ---
     shuffle_partitions: int = 32

@@ -58,9 +58,45 @@ def candidate_pairs(bands: DataFrame, cfg: DedupConfig) -> DataFrame:
         .select(F.col("x.file_id").alias("a"), F.col("y.file_id").alias("b"))
     )
 
-    pairs_hot = (
-        sized.filter((F.col("bsz") > cap) & (F.col("file_id") != F.col("rep")))
-        .select(F.col("rep").alias("a"), F.col("file_id").alias("b"))
-    )
+    if cfg.hot_bucket_mode == "salted":
+        pairs_hot = _salted_pairs(sized.filter(F.col("bsz") > cap), cfg)
+    else:  # "star"
+        pairs_hot = (
+            sized.filter((F.col("bsz") > cap) & (F.col("file_id") != F.col("rep")))
+            .select(F.col("rep").alias("a"), F.col("file_id").alias("b"))
+        )
 
     return pairs_small.unionByName(pairs_hot).dropDuplicates(["a", "b"])
+
+
+def _salted_pairs(hot: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """COMPLETE pair coverage of hot buckets with the skew spread over
+    s^2 tasks instead of one (the north_star's salting strategy —
+    chosen via hot_bucket_mode='salted' when pair-level completeness
+    inside hot buckets matters more than the O(k^2) cost; 'star'
+    preserves cluster membership at O(k)).
+
+    Each member gets a deterministic salt in [0, s); the left side is
+    exploded once per counterpart salt, so the join key (band,
+    band_hash, salt_of_right) spreads a k-member bucket over s reduce
+    tasks of ~k^2/s pairs instead of one k^2 task.  Salt is
+    xxhash64-derived — rerun-stable.  Each unordered pair survives
+    exactly once: it is produced from both orientations, and a < b
+    keeps one."""
+    s = cfg.salt_buckets
+    salted = hot.select(
+        "band", "band_hash", "file_id",
+        F.pmod(F.xxhash64(F.col("file_id"), F.lit("salt")), F.lit(s)).alias("salt"),
+    )
+    left = salted.select(
+        "band", "band_hash", F.col("file_id").alias("a"),
+        F.explode(F.sequence(F.lit(0), F.lit(s - 1))).alias("sb"),
+    )
+    right = salted.select(
+        "band", "band_hash", F.col("file_id").alias("b"), F.col("salt").alias("sb")
+    )
+    return (
+        left.join(right, ["band", "band_hash", "sb"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+    )

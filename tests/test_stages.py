@@ -134,6 +134,19 @@ def test_candidates_hot_bucket_star_collapse(spark, cfg):
     assert (pairs.a < pairs.b).all()
 
 
+def test_candidates_salted_mode_complete_coverage(spark, cfg):
+    """hot_bucket_mode='salted' must emit EVERY pair of a hot bucket
+    exactly once (complete coverage, skew spread over salt tasks)."""
+    salted_cfg = cfg.with_(band_bucket_cap=10, hot_bucket_mode="salted", salt_buckets=4)
+    n = 40
+    bands = spark.createDataFrame([(i, 0, 777) for i in range(n)],
+                                  "file_id long, band int, band_hash long")
+    pairs = candidate_pairs(bands, salted_cfg).toPandas()
+    assert len(pairs) == n * (n - 1) // 2
+    assert not pairs.duplicated(["a", "b"]).any()
+    assert (pairs.a < pairs.b).all()
+
+
 def test_candidates_pair_dedup_across_bands(spark, cfg):
     """A pair colliding in many bands must be emitted once."""
     rows = [(fid, band, 99) for fid in (1, 2) for band in range(4)]
