@@ -35,6 +35,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--langs", nargs="*", default=None, help="optional lang filter")
     p.add_argument("--no-resume", action="store_true",
                    help="recompute every stage even if checkpoints exist")
+    p.add_argument("--full-report", action="store_true",
+                   help="emit the reference-shaped report with per-group "
+                        "member lists (cli.py:285-321 shape), not just the summary")
     p.add_argument("--jaccard-threshold", type=float, default=None)
     p.add_argument("--shingle-k", type=int, default=None)
     p.add_argument("--bands", type=int, default=None)
@@ -88,7 +91,12 @@ def main(argv: list[str] | None = None) -> int:
             resume=not args.no_resume,
             langs=args.langs,
         )
-        out = dict(res.report)
+        if args.full_report:
+            from codedup.stages.report import reference_style_report
+
+            out = reference_style_report(res.fingerprints, res.members, res.verified)
+        else:
+            out = dict(res.report)
         out["config_fingerprint"] = cfg.fingerprint()
         out["recomputed_stages"] = res.recomputed_stages
         json.dump(out, sys.stdout, indent=1, sort_keys=True)

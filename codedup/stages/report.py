@@ -76,6 +76,64 @@ def action_plan(ranked: DataFrame) -> DataFrame:
     )
 
 
+def reference_style_report(fp: DataFrame, ranked: DataFrame, verified: DataFrame) -> dict:
+    """Full report in the reference's JSON shape (cli.py:285-321,
+    report1.json): summary + exact_duplicates[] + similar_groups[].
+
+    A cluster whose members share one sha256 maps to the reference's
+    exact_duplicates entry; clusters with >1 distinct content map to
+    similar_images groups (their pairwise signals aggregated).  Group
+    member lists are collected driver-side — duplicate groups are a
+    vanishing fraction of the corpus, like the reference's report."""
+    import collections
+
+    members = ranked.select("cluster_id", "key", "size", "sha256", "rank") \
+        .orderBy("cluster_id", "rank").collect()
+    by_cluster: dict[int, list] = collections.defaultdict(list)
+    for r in members:
+        by_cluster[r["cluster_id"]].append(r)
+
+    pair_stats = {
+        r["cluster_id"]: r
+        for r in verified.join(
+            ranked.select(F.col("file_id").alias("a"), "cluster_id"), "a"
+        )
+        .groupBy("cluster_id")
+        .agg(F.min("jaccard").alias("min_jaccard"), F.max("hamming").alias("max_hamming"))
+        .collect()
+    }
+
+    exact, similar = [], []
+    for cid, rows in sorted(by_cluster.items()):
+        files = [{"path": r["key"], "size": int(r["size"])} for r in rows]
+        total = sum(f["size"] for f in files)
+        savings = total - max(f["size"] for f in files)
+        if len({r["sha256"] for r in rows}) == 1:
+            exact.append({
+                "hash": rows[0]["sha256"],
+                "files": files,
+                "total_size": total,
+                "potential_savings": savings,
+            })
+        else:
+            ps = pair_stats.get(cid)
+            similar.append({
+                "group_id": int(cid),
+                "files": files,
+                "total_size": total,
+                "potential_savings": savings,
+                "min_jaccard": round(float(ps["min_jaccard"]), 6) if ps else None,
+                "max_simhash_hamming": int(ps["max_hamming"]) if ps else None,
+            })
+
+    return {
+        **summary(fp, ranked),
+        "exact_duplicates": exact,
+        "similar_groups": similar,
+        "errors": [],
+    }
+
+
 def summary(fp: DataFrame, ranked: DataFrame) -> dict:
     """Driver-side small dict mirroring the reference report summary
     (report1.json:4-17).  Two aggregate jobs total."""
