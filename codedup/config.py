@@ -53,7 +53,9 @@ class DedupConfig:
     band_bucket_cap: int = 64     # buckets larger than this are "hot"
     # hot-bucket strategy: "star" pairs members with the bucket min only
     # (O(k), preserves cluster membership); "salted" keeps COMPLETE pair
-    # coverage but spreads the O(k^2) join over salt_buckets^2 tasks
+    # coverage but spreads the O(k^2) join over salt_buckets tasks;
+    # "auto" salts medium-hot buckets (size <= cap*salt_buckets) and
+    # stars gigantic ones
     hot_bucket_mode: str = "star"
     salt_buckets: int = 8
 

@@ -115,7 +115,10 @@ def run(
         return reused.unionByName(new_sigs)
 
     sigs = stage("signatures", build_signatures)
-    bands = stage("bands", lambda: band_rows(sigs, cfg))
+    # FAULT sentinel rows (n_shingles = -1, see signatures.py) stay
+    # visible in the checkpoint but never reach banding/verification
+    good_sigs = sigs.filter(F.col("n_shingles") >= 0)
+    bands = stage("bands", lambda: band_rows(good_sigs, cfg))
     cands = stage("candidates", lambda: candidate_pairs(bands, cfg))
     verified = stage("verified", lambda: verify_pairs(cands, reps, sigs, cfg))
 

@@ -58,13 +58,23 @@ def candidate_pairs(bands: DataFrame, cfg: DedupConfig) -> DataFrame:
         .select(F.col("x.file_id").alias("a"), F.col("y.file_id").alias("b"))
     )
 
+    hot = sized.filter(F.col("bsz") > cap)
+    star = lambda df: (  # noqa: E731
+        df.filter(F.col("file_id") != F.col("rep"))
+        .select(F.col("rep").alias("a"), F.col("file_id").alias("b"))
+    )
     if cfg.hot_bucket_mode == "salted":
-        pairs_hot = _salted_pairs(sized.filter(F.col("bsz") > cap), cfg)
-    else:  # "star"
-        pairs_hot = (
-            sized.filter((F.col("bsz") > cap) & (F.col("file_id") != F.col("rep")))
-            .select(F.col("rep").alias("a"), F.col("file_id").alias("b"))
+        pairs_hot = _salted_pairs(hot, cfg)
+    elif cfg.hot_bucket_mode == "auto":
+        # graded response to skew: medium-hot buckets keep complete pair
+        # coverage with the O(k^2) spread over salt tasks; gigantic
+        # buckets (boilerplate pathology) degrade to O(k) star edges
+        giant_at = cap * cfg.salt_buckets
+        pairs_hot = _salted_pairs(hot.filter(F.col("bsz") <= giant_at), cfg).unionByName(
+            star(hot.filter(F.col("bsz") > giant_at))
         )
+    else:  # "star"
+        pairs_hot = star(hot)
 
     return pairs_small.unionByName(pairs_hot).dropDuplicates(["a", "b"])
 

@@ -76,6 +76,59 @@ def action_plan(ranked: DataFrame) -> DataFrame:
     )
 
 
+def greedy_groups(verified: DataFrame, order: DataFrame) -> list[list[str]]:
+    """EXACT reference grouping semantics (dedup.py:204-240): iterate
+    files in scan order; the first unmatched file seeds a group and
+    absorbs every later unmatched file within threshold OF THE SEED.
+
+    Connected components (the scalable default) are a coarsening of
+    this; when byte-for-byte parity with the reference's similar-groups
+    output is required, this driver-side pass over the (small) verified
+    pair set reproduces it.  ``order`` supplies (file_id, key); scan
+    order = ascending key, matching the oracle/reference enumeration.
+
+    Driver-side by design: the pair set is tiny relative to the corpus
+    (like the reference's in-memory match loop over scan survivors).
+
+    Greedy grouping is ENUMERATION-ORDER dependent, so parity requires
+    the same representative choice and scan order as the reference:
+    each distinct content is represented by its lexicographically
+    smallest key (= first-seen under the reference's sorted scan), and
+    seeds iterate in ascending key order."""
+    rows = order.select("file_id", "key", "sha256").collect()
+    id2sha = {r["file_id"]: r["sha256"] for r in rows}
+    canon: dict[str, str] = {}
+    for r in rows:
+        s = r["sha256"]
+        if s not in canon or r["key"] < canon[s]:
+            canon[s] = r["key"]
+
+    adj: dict[str, set[str]] = {}
+    for r in verified.select("a", "b").collect():
+        ka = canon.get(id2sha.get(r["a"]))
+        kb = canon.get(id2sha.get(r["b"]))
+        if ka is None or kb is None or ka == kb:
+            continue
+        adj.setdefault(ka, set()).add(kb)
+        adj.setdefault(kb, set()).add(ka)
+
+    keys = sorted(adj)
+    matched: set[str] = set()
+    groups: list[list[str]] = []
+    for i, ka in enumerate(keys):
+        if ka in matched:
+            continue
+        group = [ka]
+        for kb in keys[i + 1:]:
+            if kb not in matched and kb in adj[ka]:
+                group.append(kb)
+                matched.add(kb)
+        if len(group) > 1:
+            matched.add(ka)
+            groups.append(group)
+    return groups
+
+
 def reference_style_report(fp: DataFrame, ranked: DataFrame, verified: DataFrame) -> dict:
     """Full report in the reference's JSON shape (cli.py:285-321,
     report1.json): summary + exact_duplicates[] + similar_groups[].

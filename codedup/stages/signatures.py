@@ -33,7 +33,11 @@ SIG_SCHEMA = T.StructType([
 
 def compute_signatures(reps: DataFrame, cfg: DedupConfig) -> DataFrame:
     """representatives(file_id, content, ...) -> signatures table."""
+    import os
+
     k, num_perm, seed, norm = cfg.shingle_k, cfg.num_perm, cfg.minhash_seed, cfg.normalize_ws
+    # captured driver-side into the closure so it reaches every worker
+    fault_marker = os.environ.get("CODEDUP_FAULT_INJECT")  # test hook
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # imports inside: runs on executors' Python workers
@@ -43,10 +47,21 @@ def compute_signatures(reps: DataFrame, cfg: DedupConfig) -> DataFrame:
             fids = pdf["file_id"].to_numpy()
             out_n, out_mh, out_sh = [], [], []
             for text in pdf["content"]:
-                sh = K.shingle_hashes(text, k, normalize_ws=norm)
-                out_n.append(sh.size)
-                out_mh.append(K.minhash_signature(sh, num_perm, seed).tolist())
-                out_sh.append(K.simhash64(sh))
+                try:
+                    if fault_marker and fault_marker in text:
+                        raise RuntimeError("injected fault")
+                    sh = K.shingle_hashes(text, k, normalize_ws=norm)
+                    out_n.append(sh.size)
+                    out_mh.append(K.minhash_signature(sh, num_perm, seed).tolist())
+                    out_sh.append(K.simhash64(sh))
+                except Exception:
+                    # never fail the task for one bad row: emit the
+                    # FAULT sentinel (n_shingles = -1); the pipeline
+                    # excludes it downstream and it stays visible in the
+                    # signatures checkpoint (errors are never silent)
+                    out_n.append(-1)
+                    out_mh.append([])
+                    out_sh.append(0)
             yield pd.DataFrame({
                 "file_id": fids,
                 "n_shingles": pd.array(out_n, dtype="int32"),

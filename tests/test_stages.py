@@ -147,6 +147,20 @@ def test_candidates_salted_mode_complete_coverage(spark, cfg):
     assert (pairs.a < pairs.b).all()
 
 
+def test_candidates_auto_mode_grades_by_size(spark, cfg):
+    """'auto': medium-hot bucket -> complete coverage; gigantic -> star."""
+    auto = cfg.with_(band_bucket_cap=5, hot_bucket_mode="auto", salt_buckets=4)
+    medium = [(i, 0, 111) for i in range(12)]            # 5 < 12 <= 20 -> salted
+    giant = [(100 + i, 0, 222) for i in range(30)]       # 30 > 20 -> star
+    bands = spark.createDataFrame(medium + giant, "file_id long, band int, band_hash long")
+    pairs = candidate_pairs(bands, auto).toPandas()
+    med = pairs[(pairs.a < 100) & (pairs.b < 100)]
+    gia = pairs[(pairs.a >= 100) | (pairs.b >= 100)]
+    assert len(med) == 12 * 11 // 2        # complete
+    assert len(gia) == 30 - 1              # star around min
+    assert (gia.a == 100).all()
+
+
 def test_candidates_pair_dedup_across_bands(spark, cfg):
     """A pair colliding in many bands must be emitted once."""
     rows = [(fid, band, 99) for fid in (1, 2) for band in range(4)]
