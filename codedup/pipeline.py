@@ -123,7 +123,10 @@ def run(
     verified = stage("verified", lambda: verify_pairs(cands, reps, sigs, cfg))
 
     def build_clusters() -> DataFrame:
-        near_edges = verified.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        near_edges = (
+            verified.filter(F.col("kind") != "fault")  # fault rows are recorded, not clustered
+            .select(F.col("a").alias("u"), F.col("b").alias("v"))
+        )
         edges = near_edges.unionByName(eedges)
         return connected_components(edges, cfg)
 

@@ -174,7 +174,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ids = fp.select("file_id", F.col("path").cast("long").alias("doc_id"))
     pairs = (
-        verified
+        verified.filter(F.col("kind") != "fault")
         .join(ids.select(F.col("file_id").alias("a"), F.col("doc_id").alias("da")), "a")
         .join(ids.select(F.col("file_id").alias("b"), F.col("doc_id").alias("db")), "b")
         .select(

@@ -95,6 +95,7 @@ def greedy_groups(verified: DataFrame, order: DataFrame) -> list[list[str]]:
     each distinct content is represented by its lexicographically
     smallest key (= first-seen under the reference's sorted scan), and
     seeds iterate in ascending key order."""
+    verified = verified.filter(F.col("kind") != "fault")
     rows = order.select("file_id", "key", "sha256").collect()
     id2sha = {r["file_id"]: r["sha256"] for r in rows}
     canon: dict[str, str] = {}
@@ -148,7 +149,7 @@ def reference_style_report(fp: DataFrame, ranked: DataFrame, verified: DataFrame
 
     pair_stats = {
         r["cluster_id"]: r
-        for r in verified.join(
+        for r in verified.filter(F.col("kind") != "fault").join(
             ranked.select(F.col("file_id").alias("a"), "cluster_id"), "a"
         )
         .groupBy("cluster_id")

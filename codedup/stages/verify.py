@@ -51,8 +51,11 @@ def verify_pairs(pairs: DataFrame, reps: DataFrame, sigs: DataFrame, cfg: DedupC
 
     ``reps`` must carry (file_id, content); ``sigs`` (file_id, simhash).
     """
+    import os
+
     k, norm = cfg.shingle_k, cfg.normalize_ws
     j_min, lcs_min, lcs_cap = cfg.jaccard_threshold, cfg.lcs_min_frac, cfg.lcs_max_chars
+    fault_marker = os.environ.get("CODEDUP_FAULT_INJECT")  # test hook (closure-captured)
 
     sim = sigs.select("file_id", "simhash", "minhash")
     with_sim = (
@@ -99,21 +102,30 @@ def verify_pairs(pairs: DataFrame, reps: DataFrame, sigs: DataFrame, cfg: DedupC
             for a, b, ham, ca, cb in zip(
                 pdf["a"], pdf["b"], pdf["hamming"], pdf["content_a"], pdf["content_b"]
             ):
-                # normalize ONCE; every signal below (shingles, LCS) is
-                # defined over the normalized text — so trivially-
-                # reformatted pairs are string-equal here and skip the
-                # O(n log n) suffix array entirely
-                ta = K.normalize_text(ca) if norm else ca
-                tb = K.normalize_text(cb) if norm else cb
-                sa = K.shingle_hashes(ta, k, normalize_ws=False)
-                sb = K.shingle_hashes(tb, k, normalize_ws=False)
-                inter, union = K.jaccard_counts(sa, sb)
-                j = 1.0 if union == 0 else inter / float(union)
-                if j < j_min:
-                    continue
-                lf = 1.0 if ta == tb else K.lcs_fraction(ta, tb, max_chars=lcs_cap)
-                if lf < lcs_min:
-                    continue
+                try:
+                    if fault_marker and (fault_marker in ca or fault_marker in cb):
+                        raise RuntimeError("injected fault")
+                    # normalize ONCE; every signal below (shingles, LCS)
+                    # is defined over the normalized text — so trivially-
+                    # reformatted pairs are string-equal here and skip
+                    # the O(n log n) suffix array entirely
+                    ta = K.normalize_text(ca) if norm else ca
+                    tb = K.normalize_text(cb) if norm else cb
+                    sa = K.shingle_hashes(ta, k, normalize_ws=False)
+                    sb = K.shingle_hashes(tb, k, normalize_ws=False)
+                    inter, union = K.jaccard_counts(sa, sb)
+                    j = 1.0 if union == 0 else inter / float(union)
+                    if j < j_min:
+                        continue
+                    lf = 1.0 if ta == tb else K.lcs_fraction(ta, tb, max_chars=lcs_cap)
+                    if lf < lcs_min:
+                        continue
+                    kind = "near" if j < 1.0 else "normalized_exact"
+                except Exception:
+                    # a failing pair is recorded as kind='fault' (never
+                    # silently dropped, never fails the task); clustering
+                    # excludes fault rows
+                    j, inter, union, lf, kind = -1.0, 0, 0, -1.0, "fault"
                 rows["a"].append(a)
                 rows["b"].append(b)
                 rows["jaccard"].append(j)
@@ -121,7 +133,7 @@ def verify_pairs(pairs: DataFrame, reps: DataFrame, sigs: DataFrame, cfg: DedupC
                 rows["n_union"].append(union)
                 rows["hamming"].append(int(ham))
                 rows["lcs_frac"].append(lf)
-                rows["kind"].append("near" if j < 1.0 else "normalized_exact")
+                rows["kind"].append(kind)
             yield pd.DataFrame(rows, columns=list(VERIFIED_SCHEMA.fieldNames())).astype(
                 {"a": "int64", "b": "int64", "jaccard": "float64", "n_inter": "int64",
                  "n_union": "int64", "hamming": "int32", "lcs_frac": "float64", "kind": "object"}

@@ -41,3 +41,38 @@ def test_signature_fault_is_routed_not_fatal(spark, tmp_path, monkeypatch):
                         run_id="f2", resume=False)
     sigs2 = spark.read.parquet(str(tmp_path / "w2" / "runs" / "f2" / "signatures")).toPandas()
     assert (sigs2.n_shingles >= 0).all()
+
+
+def test_verify_fault_recorded_not_fatal(spark, monkeypatch):
+    """A pair that explodes inside verification becomes a kind='fault'
+    row (visible, excluded from clustering) instead of a task failure."""
+    from codedup.stages.verify import verify_pairs
+
+    monkeypatch.setenv("CODEDUP_FAULT_INJECT", "VERIFY_POISON")
+    cfg = DedupConfig(shuffle_partitions=4)
+    body = "def g():\n    return 42\n" * 20
+    reps = spark.createDataFrame(
+        [(1, body + "VERIFY_POISON\n"), (2, body + "VERIFY_POISON !\n"),
+         (3, body), (4, body + "# ok\n")],
+        "file_id long, content string",
+    )
+    import numpy as np
+
+    from codedup import kernels as K
+
+    def sig_row(fid, text):
+        sh = K.shingle_hashes(text, cfg.shingle_k, cfg.normalize_ws)
+        return (fid, int(sh.size),
+                K.minhash_signature(sh, cfg.num_perm, cfg.minhash_seed).tolist(),
+                K.simhash64(sh))
+
+    sigs = spark.createDataFrame(
+        [sig_row(f, t) for f, t in [(1, body), (2, body), (3, body), (4, body)]],
+        "file_id long, n_shingles int, minhash array<long>, simhash long",
+    )
+    pairs = spark.createDataFrame([(1, 2), (3, 4)], "a long, b long")
+    out = verify_pairs(pairs, reps, sigs, cfg).toPandas()
+    faults = out[out.kind == "fault"]
+    ok = out[out.kind != "fault"]
+    assert len(faults) == 1 and set(faults[["a", "b"]].iloc[0]) == {1, 2}
+    assert len(ok) == 1 and set(ok[["a", "b"]].iloc[0]) == {3, 4}
