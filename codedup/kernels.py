@@ -117,16 +117,29 @@ def minhash_perms(num_perm: int, seed: int) -> np.ndarray:
     return _PERM_CACHE[key]
 
 
+_MH_CHUNK = 256  # shingles per inner block: 128 perms x 256 x 8 B = 256 KB, L2-resident
+
+
 def minhash_signature(shingles: np.ndarray, num_perm: int, seed: int) -> np.ndarray:
     """num_perm-slot MinHash signature (int64) from 64-bit shingle hashes:
     slot i = min over shingles of splitmix64(h ^ seed_i), stored as the
-    signed-int64 view of the uint64 minimum (equality-compatible)."""
+    signed-int64 view of the uint64 minimum (equality-compatible).
+
+    Computed in shingle-axis chunks so the (num_perm x chunk) temporary
+    stays cache-resident: the unchunked matrix is ~1 KB x n_shingles of
+    memory traffic per document, which becomes the throughput ceiling
+    when many workers hash concurrently.  Chunking changes nothing about
+    the values (min is associative)."""
     if shingles.size == 0:
         return np.full(num_perm, EMPTY_MIN, dtype=np.int64)
-    seeds = minhash_perms(num_perm, seed)
+    seeds = minhash_perms(num_perm, seed)[:, None]
+    acc = None
     with np.errstate(over="ignore"):
-        vals = _splitmix64(shingles[None, :] ^ seeds[:, None])
-    return vals.min(axis=1).view(np.int64)
+        for lo in range(0, shingles.size, _MH_CHUNK):
+            vals = _splitmix64(shingles[None, lo:lo + _MH_CHUNK] ^ seeds)
+            m = vals.min(axis=1)
+            acc = m if acc is None else np.minimum(acc, m, out=acc)
+    return acc.view(np.int64)
 
 
 # --- SimHash -------------------------------------------------------------
