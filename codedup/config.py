@@ -20,7 +20,7 @@ class DedupConfig:
     # Bump whenever kernels.py changes hash semantics: it participates in
     # the fingerprint, so stale signature caches self-invalidate (the
     # reference's cache has no such guard — a silent-staleness bug class).
-    kernel_version: int = 2
+    kernel_version: int = 3
 
     # --- shingling (replaces image decode, hasher.py:19-47) ---
     shingle_k: int = 9            # char n-gram length

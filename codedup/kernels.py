@@ -50,16 +50,19 @@ def _splitmix64(x: np.ndarray) -> np.ndarray:
 
 
 def normalize_text(text: str) -> str:
-    """CRLF->LF and strip trailing whitespace per line.
+    """CRLF->LF and strip trailing spaces/tabs per line.
 
     Mirrors the robustness intent of perceptual hashing (re-encoded
     images hash alike, hasher.py:19-36): trivially-reformatted code
-    shingles alike.
+    shingles alike.  The strip set is EXPLICITLY " \\t": a bare
+    rstrip() also eats exotic unicode whitespace (NEL, vertical tab),
+    which made normalization disagree with its own fast-path guard
+    (found by hypothesis).
     """
     if "\r" in text:
         text = text.replace("\r\n", "\n").replace("\r", "\n")
     if " \n" in text or "\t\n" in text or text.endswith((" ", "\t")):
-        text = "\n".join(line.rstrip() for line in text.split("\n"))
+        text = "\n".join(line.rstrip(" \t") for line in text.split("\n"))
     return text
 
 
