@@ -153,8 +153,13 @@ def simhash64(shingles: np.ndarray) -> int:
     distinct shingle).  Returned as signed int64 (Spark LongType)."""
     if shingles.size == 0:
         return 0
-    bits = (shingles[:, None] >> np.arange(64, dtype=U64)[None, :]) & U64(1)
-    ones = bits.sum(axis=0)
+    # chunked like minhash_signature: the (chunk x 64) bit matrix stays
+    # cache-resident; the bit-count accumulation is order-free
+    shifts = np.arange(64, dtype=U64)[None, :]
+    ones = np.zeros(64, dtype=np.int64)
+    for lo in range(0, shingles.size, _MH_CHUNK):
+        bits = (shingles[lo:lo + _MH_CHUNK, None] >> shifts) & U64(1)
+        ones += bits.sum(axis=0, dtype=np.int64)
     n = shingles.size
     sim = ones * 2 > n
     packed = 0
