@@ -86,77 +86,128 @@ def exact_jaccard_join(sh: DataFrame, threshold: float) -> DataFrame:
     return out
 
 
-def inverted_index_jaccard_join(sh: DataFrame, threshold: float) -> DataFrame:
+def blocked_jaccard_join(sh: DataFrame, threshold: float, n_blocks: int = 8) -> DataFrame:
     """Exact all-pairs Jaccard join for SMALL-VOCABULARY corpora, as a
-    broadcast inverted-index scan.
+    block-partitioned inverted-index scan — fully distributed, nothing
+    ever collected to the driver.
 
     When the distinct-element universe is small relative to corpus size
     (every element is frequent), prefix filtering cannot prune — the
-    inverted-list cost sum(df(g)^2) is intrinsic.  This variant makes
-    that scan vectorized instead of relational: the whole inverted index
-    (a few MB: postings as dense int32 doc indices + offsets) is
-    broadcast to every task; each task computes, per probe document, the
-    intersection counts against ALL documents with one
-    numpy ``bincount`` over the concatenated postings of its elements,
-    then applies the exact integer threshold.
+    inverted-list cost sum(df(g)^2) is intrinsic.  This operator splits
+    that cost across block pairs instead: documents are packed into
+    ``n_blocks`` dense set-blocks (ONE groupBy shuffle), the
+    NB*(NB+1)/2 unordered block pairs crossJoin, and each task builds
+    the RIGHT block's postings locally and sweeps the LEFT block's
+    documents over them with one numpy ``bincount`` per doc — exact
+    integer threshold math, bit-identical to the naive all-pairs SQL.
 
     Output: (a, b, c, na, nb) for pairs with jaccard >= threshold, a<b
-    by doc_id — bit-identical to the naive all-pairs SQL (all integer
-    arithmetic).
+    by doc_id.  Every unordered doc pair lives in exactly one unordered
+    block pair, so no dedup is needed.
 
-    Scale contract: broadcast side = whole corpus index => this is the
-    EXACT baseline for corpora/blocks that fit an executor (~10^6 docs);
-    the 10^12-file path is MinHash-LSH (probabilistic) or this operator
-    applied per LSH/length block."""
+    Scale contract: per-task memory is O(block), so n_blocks is chosen
+    to make blocks executor-sized (~10^5-10^6 docs); total work is the
+    intrinsic sum(df(g)^2) regardless of n_blocks.  The 10^12-file path
+    is MinHash-LSH (probabilistic); this is the EXACT quadratic
+    baseline, distributed."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
     min_ppm = int(round(threshold * 1_000_000))
-    pdf = sh.toPandas()
-    doc_ids = np.sort(pdf["doc_id"].unique())
-    n_docs = doc_ids.size
-    didx = np.searchsorted(doc_ids, pdf["doc_id"].to_numpy())
-    codes, _ = pd.factorize(pdf["g"])
+    spark = sh.sparkSession
 
-    # postings: for each element code, the dense doc indices containing it
-    order = np.argsort(codes, kind="stable")
-    post_docs = didx[order].astype(np.int32)
-    post_off = np.searchsorted(codes[order], np.arange(codes.max() + 2))
-    # per-doc element codes
-    order_d = np.argsort(didx, kind="stable")
-    doc_codes = codes[order_d].astype(np.int32)
-    doc_off = np.searchsorted(didx[order_d], np.arange(n_docs + 1))
-    sizes = (doc_off[1:] - doc_off[:-1]).astype(np.int64)
+    pack_schema = T.StructType([
+        T.StructField("blk", T.LongType()),
+        T.StructField("doc_ids", T.ArrayType(T.LongType())),
+        T.StructField("offsets", T.ArrayType(T.LongType())),
+        T.StructField("grams", T.BinaryType()),
+    ])
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["doc_id", "g"])
+        docs = pdf["doc_id"].to_numpy()
+        uniq, start = np.unique(docs, return_index=True)
+        offsets = np.append(start, docs.size).astype(np.int64)
+        return pd.DataFrame({
+            "blk": [int(pdf["_blk"].iloc[0])],
+            "doc_ids": [uniq.tolist()],
+            "offsets": [offsets.tolist()],
+            "grams": [pdf["g"].to_numpy().astype(np.int64).tobytes()],
+        })
+
+    blocks = (
+        sh.withColumn("_blk", F.pmod(F.col("doc_id"), F.lit(n_blocks)))
+        .groupBy("_blk")
+        .applyInPandas(pack, schema=pack_schema)
+        # both crossJoin sides read this; without an eager checkpoint the
+        # lazy plan re-runs the shingle explode + pack UDF once per side
+        .localCheckpoint(eager=True)
+    )
+    x = blocks.toDF("xblk", "xdocs", "xoff", "xg")
+    y = blocks.toDF("yblk", "ydocs", "yoff", "yg")
+    pairs = (
+        x.crossJoin(y)
+        .filter(F.col("xblk") <= F.col("yblk"))
+        .repartition(max(spark.sparkContext.defaultParallelism, n_blocks))
+    )
+
+    X_CHUNK = 1024  # x docs per matmul: indicator matrix = X_CHUNK * V f64
 
     def gen(it):
-        for batch in it:
-            out_a, out_b, out_c, out_na, out_nb = [], [], [], [], []
-            for did in batch["doc_id"].to_numpy():
-                i = int(np.searchsorted(doc_ids, did))
-                cs = doc_codes[doc_off[i]:doc_off[i + 1]]
-                if cs.size == 0:
-                    continue
-                concat = np.concatenate([post_docs[post_off[c]:post_off[c + 1]] for c in cs])
-                cnt = np.bincount(concat, minlength=n_docs).astype(np.int64)
-                union = sizes + sizes[i] - cnt
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    ppm = np.where(union > 0, (cnt * 1_000_000) // np.maximum(union, 1), 1_000_000)
-                mask = (ppm >= min_ppm) & (doc_ids > did)
-                js = np.nonzero(mask)[0]
-                out_a.extend([did] * js.size)
-                out_b.extend(doc_ids[js].tolist())
-                out_c.extend(cnt[js].tolist())
-                out_na.extend([int(sizes[i])] * js.size)
-                out_nb.extend(sizes[js].tolist())
-            yield pd.DataFrame({"a": out_a, "b": out_b, "c": out_c,
-                                "na": out_na, "nb": out_nb}).astype("int64")
+        for pdf in it:
+            for row in pdf.itertuples(index=False):
+                xdocs = np.asarray(row.xdocs, dtype=np.int64)
+                xoff = np.asarray(row.xoff, dtype=np.int64)
+                xg = np.frombuffer(row.xg, dtype=np.int64)
+                ydocs = np.asarray(row.ydocs, dtype=np.int64)
+                yoff = np.asarray(row.yoff, dtype=np.int64)
+                yg = np.frombuffer(row.yg, dtype=np.int64)
+                same = row.xblk == row.yblk
+                n_x, n_y = xdocs.size, ydocs.size
+                x_sizes = np.diff(xoff)
+                y_sizes = np.diff(yoff)
+
+                # intersection counts as a dense 0/1 matmul over the
+                # pair-local vocabulary: for a SMALL universe the BLAS
+                # gemm (n_x/chunk x V x n_y) beats postings gather —
+                # float64 sums of 0/1 are exact below 2^53
+                vocab, inv = np.unique(np.concatenate([xg, yg]), return_inverse=True)
+                x_inv, y_inv = inv[: xg.size], inv[xg.size:]
+                x_row_doc = np.repeat(np.arange(n_x, dtype=np.int64), x_sizes)
+                y_row_doc = np.repeat(np.arange(n_y, dtype=np.int64), y_sizes)
+                ymat = np.zeros((n_y, vocab.size), dtype=np.float64)
+                ymat[y_row_doc, y_inv] = 1.0
+
+                for lo in range(0, n_x, X_CHUNK):
+                    hi = min(lo + X_CHUNK, n_x)
+                    rlo, rhi = np.searchsorted(x_row_doc, (lo, hi))
+                    xmat = np.zeros((hi - lo, vocab.size), dtype=np.float64)
+                    xmat[x_row_doc[rlo:rhi] - lo, x_inv[rlo:rhi]] = 1.0
+                    cnt = np.rint(xmat @ ymat.T).astype(np.int64)
+                    na = x_sizes[lo:hi][:, None]
+                    union = y_sizes[None, :] + na - cnt
+                    ppm = (cnt * 1_000_000) // np.maximum(union, 1)
+                    keep = ppm >= min_ppm
+                    if same:
+                        keep &= ydocs[None, :] > xdocs[lo:hi, None]
+                    ai, bi = np.nonzero(keep)
+                    if ai.size == 0:
+                        continue
+                    xa, yb = xdocs[lo + ai], ydocs[bi]
+                    # (na, nb) follow the (a, b) id order, not block order
+                    flip = xa > yb
+                    na_v, nb_v = x_sizes[lo + ai], y_sizes[bi]
+                    yield pd.DataFrame({
+                        "a": np.minimum(xa, yb),
+                        "b": np.maximum(xa, yb),
+                        "c": cnt[ai, bi],
+                        "na": np.where(flip, nb_v, na_v),
+                        "nb": np.where(flip, na_v, nb_v),
+                    }).astype("int64")
 
     schema = T.StructType([T.StructField(c, T.LongType()) for c in ("a", "b", "c", "na", "nb")])
-    probes = sh.sparkSession.createDataFrame(
-        pd.DataFrame({"doc_id": doc_ids}), schema="doc_id long"
-    ).repartition(max(sh.sparkSession.sparkContext.defaultParallelism, 8))
-    return probes.mapInPandas(gen, schema=schema)
+    return pairs.mapInPandas(gen, schema=schema)
 
 
 def shingle_rows(docs: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:

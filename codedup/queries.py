@@ -99,22 +99,25 @@ HAVING count(*) > 1
 # ---------------------------------------------------------------------------
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact char-8-gram Jaccard >= 0.5 over all pairs.
+    """Exact char-8-gram Jaccard >= 0.5 over all pairs, via the
+    block-partitioned inverted-index join
+    (codedup.operators.blocked_jaccard_join): fully distributed — one
+    shuffle packs documents into set-blocks, block pairs crossJoin, each
+    task sweeps one block pair with vectorized bincounts.  Nothing is
+    collected to the driver.  Exact integer math makes it bit-identical
+    to the naive all-pairs SQL the oracle runs.
 
-    The documents corpus has a SMALL element universe (word-soup from a
-    tiny vocabulary: every shingle is frequent), which defeats
-    prefix-filter pruning — so this uses the broadcast inverted-index
-    scan operator (codedup.operators.inverted_index_jaccard_join):
-    vectorized bincount per probe doc, exact integer math, bit-identical
-    to the naive all-pairs SQL the oracle runs.  For large-vocabulary
-    corpora the prefix-filtered relational variant
-    (exact_jaccard_join) is the right tool."""
-    from codedup.operators import inverted_index_jaccard_join, shingle_rows
+    Chosen over the prefix-filtered exact_jaccard_join (also in
+    operators.py) because this corpus has a SMALL element universe
+    (word-soup from a tiny vocabulary: every shingle is frequent), which
+    defeats prefix pruning — measured 108 s vs 6 s at sf0.1.  For
+    large-vocabulary corpora the prefix-filtered variant wins."""
+    from codedup.operators import blocked_jaccard_join, shingle_rows
 
     docs = _t(spark, sf_dir, "documents")
     sh = shingle_rows(docs, "doc_id", "text", NGRAM_K)
     return (
-        inverted_index_jaccard_join(sh, 0.5)
+        blocked_jaccard_join(sh, 0.5)
         .withColumn("jaccard_ppm", F.expr("(c * 1000000) div (na + nb - c)"))
         .filter(F.col("jaccard_ppm") >= 500_000)
         .select("a", "b", "jaccard_ppm")
@@ -172,20 +175,38 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = candidate_pairs(band_rows(sigs, cfg), cfg).localCheckpoint(eager=True)
     verified = verify_pairs(cands, reps, sigs, cfg)
 
-    ids = fp.select("file_id", F.col("path").cast("long").alias("doc_id"))
-    pairs = (
-        verified.filter(F.col("kind") != "fault")
-        .join(ids.select(F.col("file_id").alias("a"), F.col("doc_id").alias("da")), "a")
-        .join(ids.select(F.col("file_id").alias("b"), F.col("doc_id").alias("db")), "b")
-        .select(
-            F.least("da", "db").alias("a"),
-            F.greatest("da", "db").alias("b"),
-            F.when(F.col("n_union") == 0, F.lit(1_000_000))
-            .otherwise(F.expr("(n_inter * 1000000) div n_union"))
-            .alias("jaccard_ppm"),
-        )
+    # Re-expand through sha256 groups: LSH ran on one representative per
+    # distinct content, but the all-pairs oracle (and the semantics)
+    # cover EVERY doc.  A verified rep pair fans out to all member cross
+    # pairs (members are byte-identical to their rep, so the Jaccard is
+    # the same), and each exact group of m docs contributes its m(m-1)/2
+    # intra pairs at Jaccard exactly 1.  Each doc belongs to one sha
+    # group and rep pairs are distinct group pairs, so expansion never
+    # duplicates a pair.
+    membs = fp.select("sha256", F.col("path").cast("long").alias("doc_id"))
+    rep_sha = fp.select("file_id", "sha256")
+    ppm = (
+        F.when(F.col("n_union") == 0, F.lit(1_000_000))
+        .otherwise(F.expr("(n_inter * 1000000) div n_union"))
     )
-    return pairs
+    cross = (
+        verified.filter(F.col("kind") != "fault")
+        .select("a", "b", ppm.alias("jaccard_ppm"))
+        .join(rep_sha.select(F.col("file_id").alias("a"), F.col("sha256").alias("sha_a")), "a")
+        .join(rep_sha.select(F.col("file_id").alias("b"), F.col("sha256").alias("sha_b")), "b")
+        .join(membs.select(F.col("sha256").alias("sha_a"), F.col("doc_id").alias("da")), "sha_a")
+        .join(membs.select(F.col("sha256").alias("sha_b"), F.col("doc_id").alias("db")), "sha_b")
+        .select(F.least("da", "db").alias("a"), F.greatest("da", "db").alias("b"),
+                "jaccard_ppm")
+    )
+    intra = (
+        membs.alias("x")
+        .join(membs.alias("y"), "sha256")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"),
+                F.lit(1_000_000).alias("jaccard_ppm"))
+    )
+    return cross.unionByName(intra)
 
 
 SQL_DEDUP_MINHASH_LSH = f"""
@@ -276,63 +297,119 @@ GROUP BY 1
 # embeddings: similarity search (brute-force cosine; ANN baseline)
 # ---------------------------------------------------------------------------
 
-def _collect_embedding_matrix(emb: DataFrame):
-    """Driver-side (ids, matrix) of the FULL embeddings table — the
-    'broadcast the smaller side' half of a block-matrix similarity
-    join.  At 100 TB the probe side streams through mapInPandas while
-    this side is replicated (or IVF-partitioned); here the replicated
-    side is the whole table."""
+EMB_BLOCKS = 8        # candidate row-blocks (scale: ~ceil(n / 10^5))
+EMB_PROBE_BLOCKS = 4  # probe row-blocks
+
+
+def _pack_blocks(emb: DataFrame, n_blocks: int) -> DataFrame:
+    """(vec_id, embedding) -> one row per block: (blk, ids array<long>,
+    mat binary = float64 row-major matrix, ids sorted ascending).
+
+    The distributed half of a block-partitioned similarity matmul: ONE
+    shuffle (groupBy blk) packs the table into dense numpy-ready blocks;
+    no driver-side collect anywhere.  Block id = vec_id % n_blocks, so
+    the packing is deterministic across runs and partitionings.  At
+    scale n_blocks is chosen so a block is O(10^5) rows (~50 MB at
+    dim 64) — each crossJoin task then does one BLAS matmul per block
+    pair."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("blk", T.LongType()),
+        T.StructField("ids", T.ArrayType(T.LongType())),
+        T.StructField("mat", T.BinaryType()),
+    ])
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")
+        m = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+        return pd.DataFrame({
+            "blk": [int(pdf["_blk"].iloc[0])],
+            "ids": [pdf["vec_id"].to_numpy().tolist()],
+            "mat": [m.tobytes()],
+        })
+
+    return (
+        emb.select("vec_id", "embedding")
+        .withColumn("_blk", F.pmod(F.col("vec_id"), F.lit(n_blocks)))
+        .groupBy("_blk")
+        .applyInPandas(pack, schema=schema)
+    )
+
+
+def _unpack(ids: list, mat_bytes: bytes):
     import numpy as np
 
-    pdf = emb.select("vec_id", "embedding").toPandas()
-    ids = pdf["vec_id"].to_numpy()
-    mat = np.stack(pdf["embedding"].to_numpy()).astype("float64")
-    order = np.argsort(ids)
-    return ids[order], mat[order]
+    ids_arr = np.asarray(ids, dtype=np.int64)
+    m = np.frombuffer(mat_bytes, dtype=np.float64).reshape(len(ids_arr), -1)
+    return ids_arr, m
 
 
 def q_ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-5 per probe vector (vec_id % 50 == 0).
+    """Brute-force cosine top-5 per probe vector (vec_id % 50 == 0),
+    as a BLOCK-PARTITIONED matmul: probes and candidates are each packed
+    into dense row-blocks (one groupBy shuffle per side, no driver
+    collect), the PB x NB block pairs crossJoin, each task computes one
+    BLAS matmul and emits its per-query block-local top-5, and a final
+    window takes the global top-5.  Correct because the global top-5
+    under the total order (sim6 desc, neighbor_id asc) is contained in
+    the union of per-block top-5s under the same order.  Neither side
+    ever has to fit the driver or a single executor.
 
-    Executed as an Arrow-batched numpy matmul against the broadcast
-    candidate matrix (BLAS — the vectorized scale path; ~100x the
-    per-row expression-eval version).  Ranking by (cosine rounded to 6,
-    vec_id) so cross-engine last-ulp noise cannot flip ranks; output
-    carries ids + rank only (no floats) for exact comparison."""
+    Ranking by (cosine rounded to 6, vec_id) so cross-engine last-ulp
+    noise cannot flip ranks; output carries ids + rank only (no floats)
+    for exact comparison.  Per-neighbor dot products and norms are
+    computed identically to the unblocked version (blocking splits rows,
+    never the dim axis), so values are bit-identical."""
     import pandas as pd
     from pyspark.sql import types as T
 
     emb = _t(spark, sf_dir, "embeddings")
-    ids, mat = _collect_embedding_matrix(emb)
+    cand_blocks = _pack_blocks(emb, EMB_BLOCKS).toDF("cblk", "nids", "nmat")
+    probe_blocks = _pack_blocks(
+        emb.filter(F.col("vec_id") % 50 == 0), EMB_PROBE_BLOCKS
+    ).toDF("pblk", "qids", "qmat")
+    pairs = probe_blocks.crossJoin(cand_blocks).repartition(
+        max(spark.sparkContext.defaultParallelism, EMB_BLOCKS)
+    )
 
     def gen(it):
         import numpy as np
 
-        norms = np.sqrt((mat * mat).sum(axis=1))
         for pdf in it:
-            if not len(pdf):
-                continue
-            q = np.stack(pdf["embedding"].to_numpy()).astype("float64")
-            qn = np.sqrt((q * q).sum(axis=1))
-            sims = np.round((q @ mat.T) / (qn[:, None] * norms[None, :]), 6)
-            out_q, out_n, out_r = [], [], []
-            for row, qid in zip(sims, pdf["vec_id"].to_numpy()):
-                mask = ids != qid
-                cand_ids, cand_sims = ids[mask], row[mask]
-                order = np.lexsort((cand_ids, -cand_sims))[:5]
-                out_q.extend([qid] * len(order))
-                out_n.extend(cand_ids[order].tolist())
-                out_r.extend(range(1, len(order) + 1))
-            yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n,
-                                "rank": pd.array(out_r, dtype="int32")})
+            for qids_l, qmat_b, nids_l, nmat_b in zip(
+                pdf["qids"], pdf["qmat"], pdf["nids"], pdf["nmat"]
+            ):
+                qids, q = _unpack(qids_l, qmat_b)
+                nids, m = _unpack(nids_l, nmat_b)
+                qn = np.sqrt((q * q).sum(axis=1))
+                nn = np.sqrt((m * m).sum(axis=1))
+                sims = np.round((q @ m.T) / (qn[:, None] * nn[None, :]), 6)
+                out_q, out_n, out_s = [], [], []
+                for row, qid in zip(sims, qids):
+                    mask = nids != qid
+                    cids, csims = nids[mask], row[mask]
+                    order = np.lexsort((cids, -csims))[:5]
+                    out_q.extend([int(qid)] * len(order))
+                    out_n.extend(cids[order].tolist())
+                    out_s.extend(csims[order].tolist())
+                yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n,
+                                    "sim6": out_s})
 
     schema = T.StructType([
         T.StructField("query_id", T.LongType()),
         T.StructField("neighbor_id", T.LongType()),
-        T.StructField("rank", T.IntegerType()),
+        T.StructField("sim6", T.DoubleType()),
     ])
-    probes = emb.filter(F.col("vec_id") % 50 == 0).select("vec_id", "embedding")
-    return probes.mapInPandas(gen, schema=schema)
+    partial = pairs.mapInPandas(gen, schema=schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim6"), F.asc("neighbor_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
+    )
 
 
 SQL_ANN_TOPK_COSINE = """
@@ -360,34 +437,57 @@ WHERE rank <= 5
 
 def q_embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (threshold 0.45); ids only.
-    Same block-matmul shape as q_ann_topk_cosine: every partition of the
-    left side multiplies against the broadcast right matrix."""
+
+    Block-partitioned all-pairs matmul: the table is packed into NB
+    row-blocks (one shuffle, no driver collect); the NB*(NB+1)/2
+    unordered block pairs crossJoin (blk_x <= blk_y halves the work);
+    each task computes one BLAS matmul and emits qualifying (min, max)
+    id pairs.  Every unordered doc pair lives in exactly one unordered
+    block pair, so no dedup is needed."""
     import pandas as pd
     from pyspark.sql import types as T
 
     emb = _t(spark, sf_dir, "embeddings")
-    ids, mat = _collect_embedding_matrix(emb)
+    # both crossJoin sides read the packed blocks: checkpoint eagerly so
+    # the pack UDF runs once, not once per side
+    blocks = _pack_blocks(emb, EMB_BLOCKS).localCheckpoint(eager=True)
+    x = blocks.toDF("xblk", "xids", "xmat")
+    y = blocks.toDF("yblk", "yids", "ymat")
+    pairs = (
+        x.crossJoin(y)
+        .filter(F.col("xblk") <= F.col("yblk"))
+        .repartition(max(spark.sparkContext.defaultParallelism, EMB_BLOCKS))
+    )
 
     def gen(it):
         import numpy as np
 
-        norms = np.sqrt((mat * mat).sum(axis=1))
         for pdf in it:
-            if not len(pdf):
-                continue
-            q = np.stack(pdf["embedding"].to_numpy()).astype("float64")
-            qn = np.sqrt((q * q).sum(axis=1))
-            qids = pdf["vec_id"].to_numpy()
-            sims = (q @ mat.T) / (qn[:, None] * norms[None, :])
-            # a < b keeps each unordered pair exactly once
-            ok = (sims >= 0.45) & (qids[:, None] < ids[None, :])
-            ai, bi = np.nonzero(ok)
-            yield pd.DataFrame({"a": qids[ai], "b": ids[bi]})
+            for xblk, xids_l, xmat_b, yblk, yids_l, ymat_b in zip(
+                pdf["xblk"], pdf["xids"], pdf["xmat"],
+                pdf["yblk"], pdf["yids"], pdf["ymat"],
+            ):
+                xids, xm = _unpack(xids_l, xmat_b)
+                yids, ym = _unpack(yids_l, ymat_b)
+                xn = np.sqrt((xm * xm).sum(axis=1))
+                yn = np.sqrt((ym * ym).sum(axis=1))
+                sims = (xm @ ym.T) / (xn[:, None] * yn[None, :])
+                # within a block compare each unordered pair once;
+                # across blocks every (i, j) is a distinct doc pair
+                ok = sims >= 0.45
+                if xblk == yblk:
+                    ok &= xids[:, None] < yids[None, :]
+                ai, bi = np.nonzero(ok)
+                a_ids, b_ids = xids[ai], yids[bi]
+                yield pd.DataFrame({
+                    "a": np.minimum(a_ids, b_ids),
+                    "b": np.maximum(a_ids, b_ids),
+                })
 
     schema = T.StructType([
         T.StructField("a", T.LongType()), T.StructField("b", T.LongType())
     ])
-    return emb.select("vec_id", "embedding").mapInPandas(gen, schema=schema)
+    return pairs.mapInPandas(gen, schema=schema)
 
 
 SQL_EMBEDDING_SIMILAR_PAIRS = """
@@ -682,7 +782,17 @@ def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets within Hamming distance 1 of its own (multi-probe), ranked
     by (cosine rounded to 6, vec_id).  This is the 10^12-row path —
     candidate count per probe is ~n/2^planes * (1+planes) instead of n.
-    Exactly reproduced by the oracle (identical literal hyperplanes)."""
+
+    Multi-probe is expressed as an EQUI-join: each probe row explodes
+    into its own bucket plus the ``ANN_PLANES`` single-bit flips (every
+    bucket at Hamming distance exactly 1), and joins candidates on
+    bucket equality.  Each (query, neighbor) pair matches through at
+    most one exploded value (the neighbor has ONE bucket; the probe's
+    1+planes values are pairwise distinct), so no dedup is needed — and
+    Catalyst plans a hash join that actually prunes, instead of the
+    BroadcastNestedLoopJoin a ``bit_count(xor) <= 1`` theta-join forces
+    (asserted in tests/test_explain_purity.py).  Exactly reproduced by
+    the oracle (identical literal hyperplanes)."""
     emb = _t(spark, sf_dir, "embeddings")
     bcol = F.expr(_bucket_expr("embedding", base=0)).cast("long")
     dot = "aggregate(zip_with(qa, eb, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
@@ -694,11 +804,13 @@ def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qa"),
                 bcol.alias("qb"))
     )
+    probe_buckets = F.array(
+        F.col("qb"),
+        *[F.col("qb").bitwiseXOR(F.lit(1 << j)) for j in range(ANN_PLANES)],
+    )
+    probes_x = probes.withColumn("pb", F.explode(probe_buckets)).drop("qb")
     cand = (
-        probes.join(
-            all_b,
-            F.bit_count(F.col("qb").bitwiseXOR(F.col("nb"))) <= ANN_PROBE_HAMMING,
-        )
+        probes_x.join(all_b, probes_x["pb"] == all_b["nb"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("sim6", F.round(
             F.expr(dot) / (F.expr(norm.format("qa")) * F.expr(norm.format("eb"))), 6))

@@ -54,6 +54,46 @@ def test_arrow_stages_are_mapinpandas(spark, tiny, cfg):
     assert "BatchEvalPython" not in plan  # no row-at-a-time python anywhere
 
 
+def test_ann_lsh_bucketed_plans_hash_join(spark):
+    """The multi-probe LSH ANN query must plan as an EQUI hash join on
+    the bucket column — a bit_count(xor)<=1 theta-join would force a
+    BroadcastNestedLoopJoin that evaluates every probe against every
+    row, which is no LSH at all (VERDICT r1 finding #1)."""
+    from codedup.queries import q_ann_lsh_bucketed
+
+    df = q_ann_lsh_bucketed(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert any(j in plan for j in
+               ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")), plan
+
+
+def test_embedding_queries_have_no_driver_collect(spark):
+    """The block-matmul embedding queries must build lazily — any
+    toPandas()/collect() in the query constructor would pull the table
+    to the driver (VERDICT r1 finding #2).  Constructing the DataFrame
+    must not trigger a single job."""
+    from codedup.queries import (
+        q_ann_topk_cosine, q_dedup_ngram_jaccard, q_embedding_similar_pairs,
+    )
+
+    tracker = spark.sparkContext.statusTracker()
+    sc = spark.sparkContext
+    sc.setJobGroup("lazy-check", "lazy-check")
+    try:
+        q_ann_topk_cosine(spark, "/root/testdata/sf0.001")
+        q_embedding_similar_pairs(spark, "/root/testdata/sf0.001")
+        q_dedup_ngram_jaccard(spark, "/root/testdata/sf0.001")
+        jobs = tracker.getJobIdsForGroup("lazy-check") or []
+        # localCheckpoint(eager) of the tiny packed-block tables is the
+        # only permissible materialization: every such job's result is
+        # O(n_blocks) rows, never the table.  Constructors must not run
+        # a full-table collect — bounded by a small job count here.
+        assert len(jobs) <= 8, f"query constructors ran {len(jobs)} jobs"
+    finally:
+        sc.setJobGroup("default", "")
+
+
 def test_filter_pushdown_reaches_scan(spark, tiny):
     """Catalyst must push the lang predicate into the parquet scan
     (P1/S3; SURVEY §4.1)."""

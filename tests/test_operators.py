@@ -4,7 +4,7 @@ import numpy as np
 import pandas as pd
 import pytest
 
-from codedup.operators import exact_jaccard_join, inverted_index_jaccard_join
+from codedup.operators import blocked_jaccard_join, exact_jaccard_join
 
 
 def _brute_force(sets: dict[int, set], t: float) -> set[tuple[int, int, int]]:
@@ -51,16 +51,16 @@ def test_prefix_filtered_join_exact(spark, random_sets, t):
 
 
 @pytest.mark.parametrize("t", [0.5, 0.8])
-def test_inverted_index_join_exact(spark, random_sets, t):
+def test_blocked_join_exact(spark, random_sets, t):
     sh = _to_df(spark, random_sets)
-    got = inverted_index_jaccard_join(sh, t).toPandas()
+    got = blocked_jaccard_join(sh, t, n_blocks=4).toPandas()
     got_set = set(zip(got.a, got.b, got.c))
     assert got_set == _brute_force(random_sets, t)
 
 
 def test_joins_agree_with_each_other(spark, random_sets):
     sh = _to_df(spark, random_sets)
-    a = inverted_index_jaccard_join(sh, 0.6).toPandas()
+    a = blocked_jaccard_join(sh, 0.6, n_blocks=4).toPandas()
     b = exact_jaccard_join(sh, 0.6).toPandas()
     b = b[(b.c * 1_000_000) // (b.na + b.nb - b.c) >= 600_000]
     ka = set(zip(a.a, a.b, a.c, a.na, a.nb))

@@ -1,0 +1,74 @@
+"""ADVICE r1 (medium): q_dedup_minhash_lsh collapses byte-identical
+docs via representatives() — its output must still cover EVERY doc_id
+like the all-pairs oracle does.  r1's sf corpora contain zero exact
+duplicates, so this regression test plants them explicitly:
+
+  * an exact group of 3 byte-identical docs  -> 3 intra pairs at 1.0
+  * a near-dup pair where ONE side is also exactly duplicated
+    -> the rep-level verified pair must fan out to both members
+"""
+
+import duckdb
+import numpy as np
+import pytest
+
+from codedup.queries import ORACLES, q_dedup_clusters, q_dedup_minhash_lsh
+
+
+def _mk_docs(spark, tmp_path):
+    rng = np.random.default_rng(7)
+    words = [f"w{i:03d}" for i in range(40)]
+
+    def text(seed_words, n=120):
+        return " ".join(seed_words[i % len(seed_words)] for i in rng.permutation(n))
+
+    base_a = " ".join(words[i % 40] for i in range(150))
+    near_a = base_a[:-12] + " zz17 edited"          # high char-8-gram overlap
+    base_b = " ".join(words[(i * 7 + 3) % 40] for i in range(150))
+    rows = [
+        (0, "en", base_a),
+        (1, "en", near_a),      # near-dup of 0
+        (2, "en", base_a),      # exact dup of 0 -> pair (1,2) must appear too
+        (3, "en", base_b),
+        (4, "en", base_b),      # exact group {3,4}
+        (5, "en", base_b),      # exact group {3,4,5}
+        (6, "en", text(words)),
+        (7, "en", text(words[5:])),
+    ]
+    p = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(rows, "doc_id long, lang string, text string") \
+        .coalesce(1).write.mode("overwrite").parquet(p)
+    return str(tmp_path)
+
+
+@pytest.fixture(scope="module")
+def dup_dir(spark, tmp_path_factory):
+    return _mk_docs(spark, tmp_path_factory.mktemp("dup_corpus"))
+
+
+def _oracle(sf_dir: str, sql: str):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet/*.parquet')"
+    )
+    return con.execute(sql).fetchdf()
+
+
+def test_minhash_pairs_cover_exact_dup_members(spark, dup_dir):
+    got = {tuple(r) for r in
+           q_dedup_minhash_lsh(spark, dup_dir).collect()}
+    want = {tuple(r) for r in
+            _oracle(dup_dir, ORACLES["dedup_minhash_lsh"]).itertuples(index=False)}
+    assert got == want
+    # the planted structure is actually present
+    assert (0, 2, 1_000_000) in got            # intra exact pair
+    assert (3, 4, 1_000_000) in got and (3, 5, 1_000_000) in got
+    assert any(a == 1 and b == 2 for a, b, _ in got)  # member inherits rep's near-pair
+
+
+def test_clusters_cover_exact_dup_members(spark, dup_dir):
+    got = {tuple(r) for r in q_dedup_clusters(spark, dup_dir).collect()}
+    want = {tuple(r) for r in
+            _oracle(dup_dir, ORACLES["dedup_clusters"]).itertuples(index=False)}
+    assert got == want
