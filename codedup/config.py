@@ -20,7 +20,8 @@ class DedupConfig:
     # Bump whenever kernels.py changes hash semantics: it participates in
     # the fingerprint, so stale signature caches self-invalidate (the
     # reference's cache has no such guard — a silent-staleness bug class).
-    kernel_version: int = 3
+    kernel_version: int = 4  # v4: char shingles window CODE POINTS (not
+    #     utf-8 bytes) and shingle_mode="token" is implemented
 
     # --- shingling (replaces image decode, hasher.py:19-47) ---
     shingle_k: int = 9            # char n-gram length

@@ -66,20 +66,11 @@ def normalize_text(text: str) -> str:
     return text
 
 
-def shingle_hashes(text: str, k: int, normalize_ws: bool = True) -> np.ndarray:
-    """Distinct 64-bit hashes of all char k-grams of ``text`` (uint64).
-
-    Rolling polynomial hash over UTF-8 bytes, finalized with SplitMix64.
-    A document shorter than k (but non-empty) yields one shingle (the
-    whole text).  Empty (after normalization) yields an empty array.
-    """
-    if normalize_ws:
-        text = normalize_text(text)
-    b = text.encode("utf-8", errors="surrogatepass")
-    n = len(b)
-    if n == 0:
-        return np.empty(0, dtype=U64)
-    arr = np.frombuffer(b, dtype=np.uint8).astype(U64)
+def _poly_windows(arr: np.ndarray, k: int) -> np.ndarray:
+    """Distinct SplitMix64-finalized polynomial hashes of all length-k
+    windows of a uint64 symbol array (one window of the whole array if
+    it is shorter than k)."""
+    n = arr.size
     if n <= k:
         win = arr[None, :]
         width = n
@@ -95,6 +86,50 @@ def shingle_hashes(text: str, k: int, normalize_ws: bool = True) -> np.ndarray:
         h = (win * pw[None, :]).sum(axis=1, dtype=U64)
         h = _splitmix64(h)
     return np.unique(h)
+
+
+def shingle_hashes(text: str, k: int, normalize_ws: bool = True,
+                   mode: str = "char") -> np.ndarray:
+    """Distinct 64-bit hashes of all k-gram shingles of ``text`` (uint64).
+
+    mode="char": k-grams of Unicode CODE POINTS (decoded via utf-32-le,
+    like lcs_length) — matching the substr() semantics of the SQL
+    oracles for non-ASCII text; hashing over UTF-8 bytes would window
+    k *bytes* and diverge on any multibyte character (ADVICE r1).
+
+    mode="token": k-grams of whitespace-separated tokens; each token is
+    hashed (blake2b-8) to a 64-bit symbol, then the same rolling
+    polynomial runs over token symbols — so a token trigram set equals
+    (whp, injectively) the set of distinct k-token substrings.
+
+    Both modes: rolling polynomial hash finalized with SplitMix64; a
+    document shorter than k symbols (but non-empty) yields one shingle
+    (the whole symbol sequence).  Empty (no symbols after
+    normalization/tokenization) yields an empty array.
+    """
+    if normalize_ws:
+        text = normalize_text(text)
+    if mode == "token":
+        import hashlib
+        import re
+
+        # ASCII whitespace class only — Java regex \s (Spark split) and
+        # RE2 \s (DuckDB) are ASCII-only, while Python str.split() also
+        # eats Unicode whitespace; pin the class so all three agree
+        toks = [t for t in re.split("[ \\t\\n\\r\\f\\x0b]+", text) if t]
+        if not toks:
+            return np.empty(0, dtype=U64)
+        arr = np.fromiter(
+            (int.from_bytes(hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest(),
+                            "little") for t in toks),
+            dtype=U64, count=len(toks),
+        )
+        return _poly_windows(arr, k)
+    cps = np.frombuffer(text.encode("utf-32-le", errors="surrogatepass"),
+                        dtype=np.uint32)
+    if cps.size == 0:
+        return np.empty(0, dtype=U64)
+    return _poly_windows(cps.astype(U64), k)
 
 
 # --- MinHash -------------------------------------------------------------

@@ -86,7 +86,7 @@ def exact_jaccard_join(sh: DataFrame, threshold: float) -> DataFrame:
     return out
 
 
-def blocked_jaccard_join(sh: DataFrame, threshold: float, n_blocks: int = 8) -> DataFrame:
+def blocked_jaccard_join(sh: DataFrame, threshold: float, n_blocks: int = 16) -> DataFrame:
     """Exact all-pairs Jaccard join for SMALL-VOCABULARY corpora, as a
     block-partitioned inverted-index scan — fully distributed, nothing
     ever collected to the driver.
@@ -96,10 +96,10 @@ def blocked_jaccard_join(sh: DataFrame, threshold: float, n_blocks: int = 8) -> 
     inverted-list cost sum(df(g)^2) is intrinsic.  This operator splits
     that cost across block pairs instead: documents are packed into
     ``n_blocks`` dense set-blocks (ONE groupBy shuffle), the
-    NB*(NB+1)/2 unordered block pairs crossJoin, and each task builds
-    the RIGHT block's postings locally and sweeps the LEFT block's
-    documents over them with one numpy ``bincount`` per doc — exact
-    integer threshold math, bit-identical to the naive all-pairs SQL.
+    NB*(NB+1)/2 unordered block pairs crossJoin, and each task
+    intersects one block pair with a dense 0/1 BLAS matmul over the
+    pair-local vocabulary — exact integer threshold math, bit-identical
+    to the naive all-pairs SQL.
 
     Output: (a, b, c, na, nb) for pairs with jaccard >= threshold, a<b
     by doc_id.  Every unordered doc pair lives in exactly one unordered
@@ -110,21 +110,11 @@ def blocked_jaccard_join(sh: DataFrame, threshold: float, n_blocks: int = 8) -> 
     intrinsic sum(df(g)^2) regardless of n_blocks.  The 10^12-file path
     is MinHash-LSH (probabilistic); this is the EXACT quadratic
     baseline, distributed."""
-    import numpy as np
     import pandas as pd
-    from pyspark.sql import types as T
-
-    min_ppm = int(round(threshold * 1_000_000))
-    spark = sh.sparkSession
-
-    pack_schema = T.StructType([
-        T.StructField("blk", T.LongType()),
-        T.StructField("doc_ids", T.ArrayType(T.LongType())),
-        T.StructField("offsets", T.ArrayType(T.LongType())),
-        T.StructField("grams", T.BinaryType()),
-    ])
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
         pdf = pdf.sort_values(["doc_id", "g"])
         docs = pdf["doc_id"].to_numpy()
         uniq, start = np.unique(docs, return_index=True)
@@ -139,11 +129,77 @@ def blocked_jaccard_join(sh: DataFrame, threshold: float, n_blocks: int = 8) -> 
     blocks = (
         sh.withColumn("_blk", F.pmod(F.col("doc_id"), F.lit(n_blocks)))
         .groupBy("_blk")
-        .applyInPandas(pack, schema=pack_schema)
-        # both crossJoin sides read this; without an eager checkpoint the
-        # lazy plan re-runs the shingle explode + pack UDF once per side
-        .localCheckpoint(eager=True)
+        .applyInPandas(pack, schema=_PACK_SCHEMA())
     )
+    return _sweep_block_pairs(blocks, threshold, n_blocks)
+
+
+def blocked_jaccard_join_text(docs: DataFrame, id_col: str, text_col: str,
+                              k: int, threshold: float,
+                              n_blocks: int = 16) -> DataFrame:
+    """blocked_jaccard_join specialized to char-k-gram sets of a text
+    column: shingling happens INSIDE the pack UDF (numpy rolling hash
+    per document, kernels.shingle_hashes), so only the raw documents are
+    shuffled once — no exploded (doc, gram) rows ever exist as a
+    DataFrame.  Empty text packs one sentinel gram, mirroring the SQL
+    substr('', i, k) = '' singleton set."""
+    import pandas as pd
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        from codedup import kernels as K
+
+        pdf = pdf.sort_values(id_col)
+        offsets = [0]
+        grams = []
+        for text in pdf[text_col]:
+            h = np.unique(K.shingle_hashes(text, k, normalize_ws=False))
+            if h.size == 0:
+                h = np.zeros(1, dtype=np.uint64)  # '' gram sentinel
+            grams.append(h.view(np.int64))
+            offsets.append(offsets[-1] + h.size)
+        return pd.DataFrame({
+            "blk": [int(pdf["_blk"].iloc[0])],
+            "doc_ids": [pdf[id_col].to_numpy().tolist()],
+            "offsets": [offsets],
+            "grams": [np.concatenate(grams).tobytes()],
+        })
+
+    blocks = (
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias(text_col))
+        .withColumn("_blk", F.pmod(F.col("doc_id"), F.lit(n_blocks)))
+        .repartition(n_blocks, "_blk")
+        .groupBy("_blk")
+        .applyInPandas(pack, schema=_PACK_SCHEMA())
+    )
+    return _sweep_block_pairs(blocks, threshold, n_blocks)
+
+
+def _PACK_SCHEMA():
+    from pyspark.sql import types as T
+
+    return T.StructType([
+        T.StructField("blk", T.LongType()),
+        T.StructField("doc_ids", T.ArrayType(T.LongType())),
+        T.StructField("offsets", T.ArrayType(T.LongType())),
+        T.StructField("grams", T.BinaryType()),
+    ])
+
+
+def _sweep_block_pairs(blocks: DataFrame, threshold: float, n_blocks: int) -> DataFrame:
+    """Shared sweep over packed set-blocks: unordered block pairs
+    crossJoin; each task intersects one pair with a dense 0/1 matmul
+    over the pair-local vocabulary."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    min_ppm = int(round(threshold * 1_000_000))
+    spark = blocks.sparkSession
+    # both crossJoin sides read this; without an eager checkpoint the
+    # lazy plan re-runs the shingle/pack UDF once per side
+    blocks = blocks.localCheckpoint(eager=True)
     x = blocks.toDF("xblk", "xdocs", "xoff", "xg")
     y = blocks.toDF("yblk", "ydocs", "yoff", "yg")
     pairs = (
@@ -170,19 +226,23 @@ def blocked_jaccard_join(sh: DataFrame, threshold: float, n_blocks: int = 8) -> 
 
                 # intersection counts as a dense 0/1 matmul over the
                 # pair-local vocabulary: for a SMALL universe the BLAS
-                # gemm (n_x/chunk x V x n_y) beats postings gather —
-                # float64 sums of 0/1 are exact below 2^53
+                # gemm (n_x/chunk x V x n_y) beats postings gather.
+                # float32 sums of 0/1 are exact below 2^24; a doc's gram
+                # set (and hence any count) can't reach that unless a
+                # single document has >16M distinct grams — guarded.
+                dt = (np.float32
+                      if max(x_sizes.max(), y_sizes.max()) < (1 << 24) else np.float64)
                 vocab, inv = np.unique(np.concatenate([xg, yg]), return_inverse=True)
                 x_inv, y_inv = inv[: xg.size], inv[xg.size:]
                 x_row_doc = np.repeat(np.arange(n_x, dtype=np.int64), x_sizes)
                 y_row_doc = np.repeat(np.arange(n_y, dtype=np.int64), y_sizes)
-                ymat = np.zeros((n_y, vocab.size), dtype=np.float64)
+                ymat = np.zeros((n_y, vocab.size), dtype=dt)
                 ymat[y_row_doc, y_inv] = 1.0
 
                 for lo in range(0, n_x, X_CHUNK):
                     hi = min(lo + X_CHUNK, n_x)
                     rlo, rhi = np.searchsorted(x_row_doc, (lo, hi))
-                    xmat = np.zeros((hi - lo, vocab.size), dtype=np.float64)
+                    xmat = np.zeros((hi - lo, vocab.size), dtype=dt)
                     xmat[x_row_doc[rlo:rhi] - lo, x_inv[rlo:rhi]] = 1.0
                     cnt = np.rint(xmat @ ymat.T).astype(np.int64)
                     na = x_sizes[lo:hi][:, None]

@@ -80,7 +80,8 @@ def run_oracle(files: pd.DataFrame, cfg: DedupConfig | None = None) -> OracleRes
         for k in rep_keys
     }
     shingles = {
-        k: K.shingle_hashes(norm_content[k], cfg.shingle_k, normalize_ws=False)
+        k: K.shingle_hashes(norm_content[k], cfg.shingle_k, normalize_ws=False,
+                            mode=cfg.shingle_mode)
         for k in rep_keys
     }
     simhash = {k: K.simhash64(shingles[k]) for k in rep_keys}

@@ -111,13 +111,14 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators.py) because this corpus has a SMALL element universe
     (word-soup from a tiny vocabulary: every shingle is frequent), which
     defeats prefix pruning — measured 108 s vs 6 s at sf0.1.  For
-    large-vocabulary corpora the prefix-filtered variant wins."""
-    from codedup.operators import blocked_jaccard_join, shingle_rows
+    large-vocabulary corpora the prefix-filtered variant wins.  The
+    _text variant shingles inside the pack UDF, so the only shuffle is
+    the raw documents — no exploded (doc, gram) rows exist at all."""
+    from codedup.operators import blocked_jaccard_join_text
 
     docs = _t(spark, sf_dir, "documents")
-    sh = shingle_rows(docs, "doc_id", "text", NGRAM_K)
     return (
-        blocked_jaccard_join(sh, 0.5)
+        blocked_jaccard_join_text(docs, "doc_id", "text", NGRAM_K, 0.5)
         .withColumn("jaccard_ppm", F.expr("(c * 1000000) div (na + nb - c)"))
         .filter(F.col("jaccard_ppm") >= 500_000)
         .select("a", "b", "jaccard_ppm")
@@ -149,14 +150,10 @@ WHERE (c * 1000000) // (sa.n + sb.n - c) >= 500000
 # documents: MinHash-LSH dedup (the engine's own pipeline, K2/J3/K10)
 # ---------------------------------------------------------------------------
 
-def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The real MinHash(128) -> LSH(b=16,r=8) -> exact-verify pipeline on
-    the documents table.  Output = verified pairs with exact Jaccard >=
-    0.80 as integer ppm.  The DuckDB oracle computes the same set
-    all-pairs; equality holds because exact verification makes LSH
-    false-positive-free and, on this corpus, the qualifying pairs sit at
-    s >= 0.93 where the b=16/r=8 miss probability is < 1e-5 (checked in
-    tests against the all-pairs result)."""
+def _minhash_pipeline_pairs(spark: SparkSession, sf_dir: str, cfg: DedupConfig) -> DataFrame:
+    """MinHash(128) -> LSH(b=16,r=8) -> exact-verify over the documents
+    table under ``cfg`` (char or token shingles), with exact-dup members
+    re-expanded; returns (a, b, jaccard_ppm) over doc_ids."""
     from codedup.stages.banding import band_rows
     from codedup.stages.candidates import candidate_pairs
     from codedup.stages.exact import representatives
@@ -164,7 +161,6 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from codedup.stages.signatures import compute_signatures
     from codedup.stages.verify import verify_pairs
 
-    cfg = DOCS_CFG
     files = _docs_as_files(_t(spark, sf_dir, "documents"))
     # eager localCheckpoints at every multi-consumer branch point: the
     # lazy plan would otherwise re-run the signature UDF once per branch
@@ -207,6 +203,59 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(1_000_000).alias("jaccard_ppm"))
     )
     return cross.unionByName(intra)
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The real MinHash(128) -> LSH(b=16,r=8) -> exact-verify pipeline on
+    the documents table.  Output = verified pairs with exact Jaccard >=
+    0.80 as integer ppm.  The DuckDB oracle computes the same set
+    all-pairs; equality holds because exact verification makes LSH
+    false-positive-free and, on this corpus, the qualifying pairs sit at
+    s >= 0.93 where the b=16/r=8 miss probability is < 1e-5 (checked in
+    tests against the all-pairs result)."""
+    return _minhash_pipeline_pairs(spark, sf_dir, DOCS_CFG)
+
+
+# Token-shingle twin of the pipeline (config shingle_mode="token",
+# K2/K9 token variant): 3-token grams, J >= 0.80.  On this corpus the
+# qualifying pairs sit at token-trigram J >= 0.90 (measured), where the
+# b=16/r=8 miss probability is < 1e-6.
+DOCS_TOKEN_CFG = DedupConfig(
+    shingle_k=3, shingle_mode="token", normalize_ws=False, jaccard_threshold=0.80
+)
+
+
+def q_dedup_minhash_lsh_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same pipeline with TOKEN 3-gram shingles — the oracle computes
+    all-pairs Jaccard over distinct 3-token substrings as strings; the
+    engine hashes each token (blake2b-8) and rolls the polynomial over
+    token symbols, so the two set cardinalities agree (injective whp)."""
+    return _minhash_pipeline_pairs(spark, sf_dir, DOCS_TOKEN_CFG)
+
+
+SQL_DEDUP_MINHASH_LSH_TOKENS = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
+  FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, array_to_string(list_slice(tk, i, i + 2), ' ') AS g
+  FROM toks,
+       LATERAL (SELECT unnest(generate_series(1, greatest(len(tk) - 2, 1))) AS i) t
+  WHERE len(tk) > 0
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM grams GROUP BY 1
+), inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+  FROM grams x JOIN grams y USING (g)
+  WHERE x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT a, b, (c * 1000000) // (sa.n + sb.n - c) AS jaccard_ppm
+FROM inter
+JOIN sizes sa ON sa.doc_id = a
+JOIN sizes sb ON sb.doc_id = b
+WHERE (c * 1000000) // (sa.n + sb.n - c) >= 800000
+"""
 
 
 SQL_DEDUP_MINHASH_LSH = f"""
@@ -1080,6 +1129,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_minhash_lsh_tokens": q_dedup_minhash_lsh_tokens,
     "text_stats": q_text_stats,
     "token_count_by_lang": q_token_count_by_lang,
     "simhash_tokens": q_simhash_tokens,
@@ -1105,6 +1155,7 @@ ORACLES: dict[str, str] = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
+    "dedup_minhash_lsh_tokens": SQL_DEDUP_MINHASH_LSH_TOKENS,
     "text_stats": SQL_TEXT_STATS,
     "token_count_by_lang": SQL_TOKEN_COUNT_BY_LANG,
     "simhash_tokens": SQL_SIMHASH_TOKENS,

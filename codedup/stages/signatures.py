@@ -36,6 +36,7 @@ def compute_signatures(reps: DataFrame, cfg: DedupConfig) -> DataFrame:
     import os
 
     k, num_perm, seed, norm = cfg.shingle_k, cfg.num_perm, cfg.minhash_seed, cfg.normalize_ws
+    mode = cfg.shingle_mode
     # captured driver-side into the closure so it reaches every worker
     fault_marker = os.environ.get("CODEDUP_FAULT_INJECT")  # test hook
 
@@ -50,7 +51,7 @@ def compute_signatures(reps: DataFrame, cfg: DedupConfig) -> DataFrame:
                 try:
                     if fault_marker and fault_marker in text:
                         raise RuntimeError("injected fault")
-                    sh = K.shingle_hashes(text, k, normalize_ws=norm)
+                    sh = K.shingle_hashes(text, k, normalize_ws=norm, mode=mode)
                     out_n.append(sh.size)
                     out_mh.append(K.minhash_signature(sh, num_perm, seed).tolist())
                     out_sh.append(K.simhash64(sh))

@@ -53,7 +53,7 @@ def verify_pairs(pairs: DataFrame, reps: DataFrame, sigs: DataFrame, cfg: DedupC
     """
     import os
 
-    k, norm = cfg.shingle_k, cfg.normalize_ws
+    k, norm, mode = cfg.shingle_k, cfg.normalize_ws, cfg.shingle_mode
     j_min, lcs_min, lcs_cap = cfg.jaccard_threshold, cfg.lcs_min_frac, cfg.lcs_max_chars
     fault_marker = os.environ.get("CODEDUP_FAULT_INJECT")  # test hook (closure-captured)
 
@@ -90,12 +90,35 @@ def verify_pairs(pairs: DataFrame, reps: DataFrame, sigs: DataFrame, cfg: DedupC
         # Explicit repartition: AQE's advisory-size coalescing would shrink
         # this shuffle to ~8 partitions (64 MB each) and cap the Python
         # verify stage's parallelism; verification is CPU-bound per pair,
-        # not bytes-bound, so spread it across all cores.
+        # not bytes-bound, so spread it across all cores.  Round-robin
+        # (not by "a") keeps hub files from skewing one task; the local
+        # sort then groups each partition's share of a hub's pairs so
+        # the per-partition memo below still hits.
         .repartition(cfg.shuffle_partitions)
+        .sortWithinPartitions("a", "b")
     )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from codedup import kernels as K
+
+        # Per-partition memo of (normalized_text, shingles) keyed by
+        # file_id: a hub file appearing in k candidate pairs within this
+        # partition is normalized + shingled once, not k times (the
+        # verify stage is the pipeline's CPU budget driver).  Bounded:
+        # cleared when it would exceed the cap (contents can be wide).
+        memo: dict[int, tuple[str, "object"]] = {}
+        MEMO_CAP = 8192
+
+        def prep(fid, content):
+            got = memo.get(fid)
+            if got is not None:
+                return got
+            t = K.normalize_text(content) if norm else content
+            s = K.shingle_hashes(t, k, normalize_ws=False, mode=mode)
+            if len(memo) >= MEMO_CAP:
+                memo.clear()
+            memo[fid] = (t, s)
+            return memo[fid]
 
         for pdf in it:
             rows = {k2: [] for k2 in VERIFIED_SCHEMA.fieldNames()}
@@ -109,10 +132,8 @@ def verify_pairs(pairs: DataFrame, reps: DataFrame, sigs: DataFrame, cfg: DedupC
                     # is defined over the normalized text — so trivially-
                     # reformatted pairs are string-equal here and skip
                     # the O(n log n) suffix array entirely
-                    ta = K.normalize_text(ca) if norm else ca
-                    tb = K.normalize_text(cb) if norm else cb
-                    sa = K.shingle_hashes(ta, k, normalize_ws=False)
-                    sb = K.shingle_hashes(tb, k, normalize_ws=False)
+                    ta, sa = prep(a, ca)
+                    tb, sb = prep(b, cb)
                     inter, union = K.jaccard_counts(sa, sb)
                     j = 1.0 if union == 0 else inter / float(union)
                     if j < j_min:

@@ -127,3 +127,50 @@ def test_lcs_fraction():
     assert K.lcs_fraction("abcd", "abcd") == 1.0
     assert K.lcs_fraction("", "") == 1.0
     assert K.lcs_fraction("", "x") == 0.0
+
+
+def test_char_shingles_window_code_points_not_bytes():
+    """ADVICE r1: oracles define char k-grams via substr(); windowing
+    UTF-8 bytes would give a different shingle COUNT for multibyte text
+    (k bytes straddle characters).  Count must equal n_chars - k + 1
+    when all k-grams are distinct."""
+    t = "∑€漢字🎉Ωabc"          # 9 code points, 22 utf-8 bytes
+    s = K.shingle_hashes(t, 4, normalize_ws=False)
+    assert s.size == len(t) - 4 + 1
+    # ascii unchanged by the decode switch: still distinct windows
+    a = K.shingle_hashes("abcdefgh", 3, normalize_ws=False)
+    assert a.size == 6
+
+
+def test_token_shingles():
+    toks = "alpha beta gamma delta".split()
+    s = K.shingle_hashes("alpha beta gamma delta", 3, mode="token")
+    assert s.size == len(toks) - 3 + 1  # 2 distinct trigrams
+    # whitespace amount/kind between tokens is irrelevant
+    s2 = K.shingle_hashes("alpha\t beta\n\ngamma   delta", 3, mode="token")
+    assert np.array_equal(s, s2)
+    # fewer than k tokens -> one shingle of all tokens
+    assert K.shingle_hashes("one two", 3, mode="token").size == 1
+    # no tokens -> empty
+    assert K.shingle_hashes("   \n\t ", 3, mode="token").size == 0
+    # token identity matters, not concatenation ("ab c" != "a bc")
+    x = K.shingle_hashes("ab c d", 2, mode="token")
+    y = K.shingle_hashes("a bc d", 2, mode="token")
+    assert not np.array_equal(x, y)
+
+
+def test_token_jaccard_matches_string_gram_jaccard():
+    """Hashed token trigram sets must have the same Jaccard as the
+    string 3-token-substring sets the SQL oracle builds."""
+    a = "w1 w2 w3 w4 w5 w6 w7 w8"
+    b = "w1 w2 w3 w4 w5 w6 w7 zz"
+
+    def string_grams(t, k=3):
+        tk = t.split()
+        return {" ".join(tk[i:i + k]) for i in range(max(len(tk) - k + 1, 1))}
+
+    sa = K.shingle_hashes(a, 3, mode="token")
+    sb = K.shingle_hashes(b, 3, mode="token")
+    inter, union = K.jaccard_counts(sa, sb)
+    ga, gb = string_grams(a), string_grams(b)
+    assert (inter, union) == (len(ga & gb), len(ga | gb))
