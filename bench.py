@@ -20,25 +20,13 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-HEADLINE = [
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_exact",
-    "dedup_clusters",
-    "simhash_tokens",
-    "doc_minhash_fingerprint",
-    "text_stats",
-    "token_count_by_lang",
-    "lang_id_heuristic",
-    "ann_topk_cosine",
-    "ann_lsh_bucketed",
-    "embedding_similar_pairs",
-    "label_centroid_classifier",
-    "pricing_summary",
-    "top_orders_per_customer",
-    "revenue_by_nation",
-    "events_daily_top_types",
-]
+# the FULL query catalog is timed (VERDICT r1 #8: partial coverage hid
+# 5 queries from round-over-round comparison); resolved at run time so
+# new catalog entries are benched automatically
+def headline_names() -> list[str]:
+    from codedup.queries import QUERIES
+
+    return list(QUERIES)
 
 
 def _sf_from_dir(d: str) -> float:
@@ -61,7 +49,7 @@ def run_headline() -> None:
 
     timings: dict[str, float] = {}
     total = 0.0
-    for name in HEADLINE:
+    for name in headline_names():
         fn = QUERIES[name]
         t0 = time.time()
         n = fn(spark, sf_dir).count()  # count() forces full execution

@@ -29,3 +29,27 @@ def key_col() -> Column:
 
 def with_ids(files: DataFrame) -> DataFrame:
     return files.withColumn("file_id", file_id_col()).withColumn("key", key_col())
+
+
+def split_id_collisions(fp: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Route 64-bit file_id collisions to the errors side-channel.
+
+    At the design target of 10^12 files, birthday math on a 64-bit id
+    expects ~27k colliding pairs; a silent collision merges two
+    unrelated files into one identity — corrupting clusters and,
+    worse, letting the APPLY job act on a non-duplicate (ADVICE r1).
+    The guard is one aggregation: ids held by >1 distinct key are
+    excluded from the pipeline and surfaced as errors (never silent).
+
+    Returns (clean, collided)."""
+    coll = (
+        fp.groupBy("file_id")
+        .agg(F.countDistinct(*KEY_COLS).alias("_nk"))
+        .filter(F.col("_nk") > 1)
+        .select("file_id")
+    )
+    # collision set is ~0 rows in practice: broadcast both anti/semi joins
+    return (
+        fp.join(F.broadcast(coll), "file_id", "left_anti"),
+        fp.join(F.broadcast(coll), "file_id", "left_semi"),
+    )

@@ -212,9 +212,18 @@ def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
 
 
 def decode_real_image(media: DataFrame) -> DataFrame:
-    """Where a REAL decoder plugs in.  Import-gated: raises with a clear
-    message until PIL is available in the image (it is not in this
-    sandbox); the SMF path above exercises identical plumbing."""
+    """REAL image decoding (reference hasher.py:35, classifier.py:
+    394-410): PNG/JPEG/... payloads -> grayscale pixel buffers, same
+    output contract as the SMF ``decode_images`` so every downstream
+    transform (resize, features, hashing) is decoder-agnostic.
+
+    Import-gated on the driver: raises immediately with a clear message
+    when Pillow is absent (it is not installed in this sandbox, so this
+    path is exercised only by its import-skipped test); when present,
+    the decode runs Arrow-batched on executors like every other media
+    transform.  A payload PIL cannot parse yields a FAULT row
+    (width = -1) rather than failing the task — the errors-are-never-
+    silent rule."""
     try:
         import PIL.Image  # noqa: F401
     except ImportError as e:
@@ -222,4 +231,32 @@ def decode_real_image(media: DataFrame) -> DataFrame:
             "real image decoding requires Pillow; this environment has no "
             "image codecs — use decode_images (SMF) for the plumbing path"
         ) from e
-    raise NotImplementedError("wire PIL decode here when codecs are available")
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        import PIL.Image as Image
+
+        for pdf in it:
+            out = {"media_id": [], "width": [], "height": [], "mean_px": [], "pixels": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    img = Image.open(io.BytesIO(bytes(payload))).convert("L")
+                    px = np.asarray(img, dtype=np.uint8)
+                    out["width"].append(int(px.shape[1]))
+                    out["height"].append(int(px.shape[0]))
+                    out["mean_px"].append(float(px.mean()) if px.size else 0.0)
+                    out["pixels"].append(px.tobytes())
+                except Exception:
+                    out["width"].append(-1)   # FAULT row, never silent
+                    out["height"].append(-1)
+                    out["mean_px"].append(-1.0)
+                    out["pixels"].append(b"")
+                out["media_id"].append(mid)
+            yield pd.DataFrame(out)
+
+    return (
+        media.filter(F.col("kind") == "image")
+        .select("media_id", "payload")
+        .mapInPandas(gen, schema=DECODED_IMAGE_SCHEMA)
+    )

@@ -33,6 +33,7 @@ from codedup.storage import ParquetStorage, SignatureCache
 STAGES = [
     "errors",
     "fingerprint",
+    "id_errors",
     "exact_edges",
     "reps",
     "signatures",
@@ -89,7 +90,18 @@ def run(
     files, ingest_errors = split_invalid(read_files(spark, *source_paths, langs=langs))
     if store is not None:
         stage("errors", lambda: ingest_errors)
-    fp = stage("fingerprint", lambda: fingerprint(files))
+    fp_all = stage("fingerprint", lambda: fingerprint(files))
+    # 64-bit id-collision guard (ADVICE r1): collided rows become error
+    # rows and never reach dedup — an apply job must not act on a
+    # merged identity
+    from codedup.ids import split_id_collisions
+
+    fp, id_collided = split_id_collisions(fp_all)
+    stage("id_errors", lambda: id_collided.select(
+        "repo", "path", "commit",
+        F.lit("identity").alias("stage"),
+        F.lit("64-bit file_id collision").alias("message"),
+    ))
     eedges = stage("exact_edges", lambda: exact_edges(fp))
     # materialized: consumed 3x downstream (signatures + both verify
     # content joins) — deriving it each time would re-shuffle the full

@@ -953,6 +953,33 @@ WHERE rn = 1
 """
 
 
+def q_feedback_model_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained preference model (SURVEY §2.8; feedback.py:176-261):
+    synthesize keep/trash decisions from the embedding labels
+    (label < 5 -> keep), train the Spark ML logistic regression
+    (StandardScaler + balanced weights + C=0.1 equivalence) on the
+    non-probe rows, and predict a 0.7/0.3-thresholded decision for
+    every vector.  Not SQL-expressible (iterative optimizer), so there
+    is deliberately no DuckDB oracle — the driver records the weaker
+    rows-only check; the golden-path behavior is pinned by
+    tests/test_feedback.py instead."""
+    from codedup.feedback import PreferenceModel
+
+    emb = _t(spark, sf_dir, "embeddings")
+    fb = emb.filter(F.col("vec_id") % 5 != 0).select(
+        F.col("vec_id").cast("string").alias("key"),
+        F.when(F.col("label") < 5, "keep").otherwise("trash").alias("decision"),
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    model = PreferenceModel()
+    stats = model.train(fb)
+    assert stats["success"], stats
+    return (
+        model.predict(emb.select("vec_id", "embedding"), id_col="vec_id")
+        .select("vec_id", "decision")
+    )
+
+
 # ---------------------------------------------------------------------------
 # relational operator demos on the TPC-H-ish tables (SURVEY §2.2-2.5)
 # ---------------------------------------------------------------------------
@@ -1141,6 +1168,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_bucketed": q_ann_lsh_bucketed,
     "embedding_similar_pairs": q_embedding_similar_pairs,
     "label_centroid_classifier": q_label_centroid_classifier,
+    "feedback_model_predictions": q_feedback_model_predictions,
     "pricing_summary": q_pricing_summary,
     "top_orders_per_customer": q_top_orders_per_customer,
     "customers_without_orders": q_customers_without_orders,

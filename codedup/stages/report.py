@@ -92,16 +92,19 @@ def greedy_groups(verified: DataFrame, order: DataFrame) -> list[list[str]]:
 
     Greedy grouping is ENUMERATION-ORDER dependent, so parity requires
     the same representative choice and scan order as the reference:
-    each distinct content is represented by its lexicographically
-    smallest key (= first-seen under the reference's sorted scan), and
-    seeds iterate in ascending key order."""
+    each distinct content is represented by its first-seen member under
+    the (repo, path, commit) TUPLE sort — NOT the concatenated key
+    string, whose order flips when one path is a prefix of another
+    ('a' vs 'a!x': '@' sorts after '!'; ADVICE r1) — and seeds iterate
+    in the same tuple order."""
     verified = verified.filter(F.col("kind") != "fault")
-    rows = order.select("file_id", "key", "sha256").collect()
+    rows = order.select("file_id", "key", "sha256", "repo", "path", "commit").collect()
     id2sha = {r["file_id"]: r["sha256"] for r in rows}
+    tup = {r["key"]: (r["repo"], r["path"], r["commit"]) for r in rows}
     canon: dict[str, str] = {}
     for r in rows:
         s = r["sha256"]
-        if s not in canon or r["key"] < canon[s]:
+        if s not in canon or tup[r["key"]] < tup[canon[s]]:
             canon[s] = r["key"]
 
     adj: dict[str, set[str]] = {}
@@ -113,7 +116,7 @@ def greedy_groups(verified: DataFrame, order: DataFrame) -> list[list[str]]:
         adj.setdefault(ka, set()).add(kb)
         adj.setdefault(kb, set()).add(ka)
 
-    keys = sorted(adj)
+    keys = sorted(adj, key=lambda k2: tup[k2])
     matched: set[str] = set()
     groups: list[list[str]] = []
     for i, ka in enumerate(keys):

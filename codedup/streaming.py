@@ -82,7 +82,21 @@ def windowed_event_counts(spark: SparkSession, source_dir: str,
 
 
 class IncrementalDedup:
-    """foreachBatch processor with append-only state tables."""
+    """foreachBatch processor with exactly-once state tables.
+
+    foreachBatch is AT-LEAST-once: a crash between state writes and the
+    checkpoint commit re-delivers the batch (ADVICE r1).  Two guards
+    make replays no-ops:
+
+      * each batch stages its outputs under ``<table>/batch_id=N/``
+        with overwrite — a partial retry rewrites the same paths
+        instead of appending duplicates;
+      * a commit marker ``_committed/N`` is written LAST; a re-entered
+        batch whose marker exists returns immediately.
+
+    ``compact()`` folds the accumulated per-batch directories into one
+    snapshot per table so per-batch history reads stay bounded (state
+    growth finding, VERDICT r1 #9)."""
 
     def __init__(self, spark: SparkSession, work_dir: str, cfg: DedupConfig | None = None):
         self.spark = spark
@@ -92,12 +106,53 @@ class IncrementalDedup:
         self.bands_dir = os.path.join(self.root, "bands")
         self.pairs_dir = os.path.join(self.root, "pairs")
         self.content_dir = os.path.join(self.root, "contents")
+        self.marker_dir = os.path.join(self.root, "_committed")
+        self._tables = (self.sig_dir, self.bands_dir, self.pairs_dir, self.content_dir)
 
     # --- state access ---
     def _read_or_none(self, path: str) -> DataFrame | None:
-        if not os.path.isdir(path):
+        if not os.path.isdir(path) or not any(
+            not e.startswith((".", "_")) for e in os.listdir(path)
+        ):
             return None
-        return self.spark.read.parquet(path)
+        df = self.spark.read.option("basePath", path).parquet(path)
+        return df.drop("batch_id") if "batch_id" in df.columns else df
+
+    def _stage_write(self, df: DataFrame, table_dir: str, batch_id: int) -> None:
+        df.write.mode("overwrite").parquet(
+            os.path.join(table_dir, f"batch_id={batch_id}"))
+
+    def _is_committed(self, batch_id: int) -> bool:
+        return os.path.exists(os.path.join(self.marker_dir, str(batch_id)))
+
+    def _mark_committed(self, batch_id: int) -> None:
+        os.makedirs(self.marker_dir, exist_ok=True)
+        with open(os.path.join(self.marker_dir, str(batch_id)), "w") as f:
+            f.write("ok")
+
+    def compact(self) -> dict:
+        """Fold per-batch directories into one snapshot per table;
+        returns per-table file counts before/after.  State contents are
+        unchanged (tested)."""
+        import shutil
+
+        stats = {}
+        for d in self._tables:
+            df = self._read_or_none(d)
+            if df is None:
+                continue
+            before = sum(len(fs) for _, _, fs in os.walk(d))
+            tmp = d + "._compact"
+            df.coalesce(max(self.cfg.shuffle_partitions // 4, 1)) \
+                .write.mode("overwrite").parquet(tmp)
+            shutil.rmtree(d)
+            os.makedirs(d)
+            # snapshot lives under batch_id=-1 so the layout stays
+            # partition-discoverable next to future batch_id=N writes
+            os.rename(tmp, os.path.join(d, "batch_id=-1"))
+            after = sum(len(fs) for _, _, fs in os.walk(d))
+            stats[os.path.basename(d)] = {"files_before": before, "files_after": after}
+        return stats
 
     def signatures(self) -> DataFrame | None:
         return self._read_or_none(self.sig_dir)
@@ -113,6 +168,8 @@ class IncrementalDedup:
 
     # --- the batch function ---
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        if self._is_committed(batch_id):
+            return  # at-least-once replay of a committed batch: no-op
         cfg = self.cfg
         fp = fingerprint(batch).localCheckpoint(eager=True)
         reps = representatives(fp)
@@ -158,13 +215,15 @@ class IncrementalDedup:
         all_sigs = new_sigs if seen is None else seen.unionByName(new_sigs)
         verified = verify_pairs(cands, contents, all_sigs, cfg)
 
-        # commit state (append-only)
-        verified.write.mode("append").parquet(self.pairs_dir)
-        new_sigs.write.mode("append").parquet(self.sig_dir)
-        new_bands.write.mode("append").parquet(self.bands_dir)
-        new_reps.select("file_id", "content", "sha256").write.mode("append").parquet(
-            self.content_dir
-        )
+        # commit state: per-batch staging dirs (overwrite => replay-safe)
+        # then the marker LAST — a crash anywhere earlier leaves a
+        # partial batch that the retry simply rewrites
+        self._stage_write(verified, self.pairs_dir, batch_id)
+        self._stage_write(new_sigs, self.sig_dir, batch_id)
+        self._stage_write(new_bands, self.bands_dir, batch_id)
+        self._stage_write(new_reps.select("file_id", "content", "sha256"),
+                          self.content_dir, batch_id)
+        self._mark_committed(batch_id)
 
     def start(self, source_dir: str, checkpoint_dir: str | None = None,
               trigger_once: bool = True):

@@ -53,3 +53,28 @@ def test_errors_stage_persisted(spark, tiny, cfg, tmp_path):
                        work_dir=str(tmp_path / "w"), run_id="e", resume=False)
     assert os.path.exists(str(tmp_path / "w" / "runs" / "e" / "errors.manifest.json"))
     assert res.recomputed_stages == pipeline.STAGES
+
+
+def test_id_collision_guard_routes_to_errors(spark):
+    """ADVICE r1: a 64-bit file_id held by two distinct keys (expected
+    ~27k times at 10^12 files) must be excluded from dedup and surfaced,
+    never silently merged."""
+    from codedup.ids import split_id_collisions
+
+    fp = spark.createDataFrame(
+        [(100, "r1", "a.py", "c1", "k1"),
+         (100, "r2", "b.py", "c2", "k2"),   # same id, different key -> collision
+         (200, "r1", "c.py", "c1", "k3"),
+         (200, "r1", "c.py", "c1", "k3")],  # same id, SAME key -> fine (dup row)
+        "file_id long, repo string, path string, commit string, key string",
+    )
+    clean, collided = split_id_collisions(fp)
+    assert {r["file_id"] for r in clean.collect()} == {200}
+    assert {r["path"] for r in collided.collect()} == {"a.py", "b.py"}
+
+
+def test_pipeline_has_id_errors_stage(run_tiny):
+    from codedup import pipeline
+
+    assert "id_errors" in pipeline.STAGES
+    assert "id_errors" in run_tiny.recomputed_stages

@@ -1,0 +1,91 @@
+"""Feedback store (upsert semantics) + preference model (Spark ML
+LogisticRegression twin of feedback.py:176-261)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from codedup.feedback import FeedbackStore, PreferenceModel
+
+
+def _fb_rows(spark, rows):
+    return spark.createDataFrame(
+        rows, "key string, decision string, embedding array<double>"
+    )
+
+
+def test_store_upsert_latest_wins(spark, tmp_path):
+    store = FeedbackStore(spark, str(tmp_path))
+    store.add_feedback(_fb_rows(spark, [
+        ("a.py", "keep", [1.0, 0.0]),
+        ("b.py", "trash", [0.0, 1.0]),
+    ]))
+    store.add_feedback(_fb_rows(spark, [("a.py", "trash", [1.0, 0.5])]))
+    cur = {r["key"]: r["decision"] for r in store.current().collect()}
+    assert cur == {"a.py": "trash", "b.py": "trash"}
+    assert store.stats() == {"trash": 2, "total": 2}
+    store.compact()
+    assert {r["key"]: r["decision"] for r in store.current().collect()} == cur
+
+
+@pytest.fixture(scope="module")
+def separable(spark):
+    """Two well-separated Gaussian blobs + 'review' noise rows."""
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(20):
+        rows.append((f"k{i}", "keep", (rng.normal(0, 0.1, 8) + 2.0).tolist()))
+        rows.append((f"t{i}", "trash", (rng.normal(0, 0.1, 8) - 2.0).tolist()))
+    for i in range(5):  # ambiguous: must be EXCLUDED from training
+        rows.append((f"r{i}", "review", rng.normal(0, 5.0, 8).tolist()))
+    return _fb_rows(spark, rows)
+
+
+def test_can_train_gate(spark):
+    m = PreferenceModel()
+    few = _fb_rows(spark, [("a", "keep", [1.0]), ("b", "trash", [0.0])])
+    ok, reason = m.can_train(few)
+    assert not ok and "at least" in reason
+    assert m.train(few) == {"success": False, "error": reason}
+
+
+def test_train_and_threshold_predictions(spark, separable):
+    m = PreferenceModel()
+    stats = m.train(separable)
+    assert stats["success"]
+    assert stats["samples_used"] == 40          # review rows excluded
+    assert stats["keep_samples"] == 20 and stats["trash_samples"] == 20
+    assert stats["train_accuracy"] == 1.0       # separable blobs
+
+    preds = m.predict(separable.filter(F.col("decision") != "review"))
+    got = {r["key"]: r["decision"] for r in preds.collect()}
+    assert all(got[f"k{i}"] == "keep" for i in range(20))
+    assert all(got[f"t{i}"] == "trash" for i in range(20))
+
+    # a midpoint embedding sits between the thresholds -> review
+    mid = _fb_rows(spark, [("mid", "x", [0.0] * 8)])
+    r = m.predict(mid).first()
+    assert r["decision"] == "review"
+    assert 0.3 <= r["keep_prob"] <= 0.7
+
+    # deterministic: retrain + repredict gives identical decisions
+    m2 = PreferenceModel()
+    m2.train(separable)
+    got2 = {r["key"]: r["decision"]
+            for r in m2.predict(separable.filter(F.col("decision") != "review")).collect()}
+    assert got2 == got
+
+
+def test_untrained_model_returns_unknown(spark, separable):
+    preds = PreferenceModel().predict(separable.limit(3))
+    assert {r["decision"] for r in preds.collect()} == {"unknown"}
+
+
+def test_catalog_query_runs(spark):
+    from codedup.queries import q_feedback_model_predictions
+
+    out = q_feedback_model_predictions(spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    n = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").count()
+    assert len(rows) == n
+    assert {r["decision"] for r in rows} <= {"keep", "trash", "review"}

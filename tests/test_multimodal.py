@@ -73,3 +73,26 @@ def test_determinism_across_partitionings(spark, media):
 def test_real_decoder_is_gated():
     with pytest.raises(NotImplementedError, match="Pillow"):
         M.decode_real_image(None)
+
+
+def test_decode_real_image_with_pil_if_present(spark):
+    """Runs only where Pillow exists (not this sandbox): a real PNG
+    decodes through the same schema as the SMF path, and junk bytes
+    become a FAULT row instead of a task failure."""
+    PIL = pytest.importorskip("PIL.Image")
+    import io
+
+    import numpy as np
+
+    buf = io.BytesIO()
+    arr = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    PIL.fromarray(arr, mode="L").save(buf, format="PNG")
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(buf.getvalue()), (8, 8, None, None, "png")),
+         (2, "image", bytearray(b"not an image"), (0, 0, None, None, "png"))],
+        M.MEDIA_SCHEMA,
+    )
+    rows = {r["media_id"]: r for r in M.decode_real_image(media).collect()}
+    assert (rows[1]["width"], rows[1]["height"]) == (8, 8)
+    assert bytes(rows[1]["pixels"]) == arr.tobytes()
+    assert rows[2]["width"] == -1  # fault row, not a crash

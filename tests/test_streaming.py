@@ -102,3 +102,38 @@ def test_streaming_state_tables_exist(spark, drops, cfg, tmp_path_factory):
     # one signature per distinct content, never recomputed
     n_distinct = drops["files"].content.nunique()
     assert sigs.select("file_id").distinct().count() == n_distinct
+
+
+def test_replay_of_committed_batch_is_noop(spark, drops, cfg, tmp_path):
+    """foreachBatch is at-least-once: re-delivering an already-committed
+    batch_id must not duplicate state (ADVICE r1)."""
+    inc = IncrementalDedup(spark, str(tmp_path / "w"), cfg)
+    b0 = spark.read.parquet(drops["paths"][0])
+    inc.process_batch(b0, 0)
+    pairs1 = inc.pairs().toPandas().sort_values(["a", "b"], ignore_index=True)
+    sigs1 = inc.signatures().count()
+    inc.process_batch(b0, 0)  # replay
+    pairs2 = inc.pairs().toPandas().sort_values(["a", "b"], ignore_index=True)
+    assert pairs1.equals(pairs2)
+    assert inc.signatures().count() == sigs1
+
+
+def test_compaction_preserves_state_and_shrinks_files(spark, drops, cfg, tmp_path):
+    inc = IncrementalDedup(spark, str(tmp_path / "w"), cfg)
+    for i, p in enumerate(drops["paths"]):
+        inc.process_batch(spark.read.parquet(p), i)
+    before = inc.pairs().toPandas().sort_values(["a", "b"], ignore_index=True)
+    sig_before = inc.signatures().toPandas().sort_values("file_id", ignore_index=True)
+
+    stats = inc.compact()
+    assert stats["pairs"]["files_after"] < stats["pairs"]["files_before"]
+    assert stats["signatures"]["files_after"] < stats["signatures"]["files_before"]
+
+    after = inc.pairs().toPandas().sort_values(["a", "b"], ignore_index=True)
+    sig_after = inc.signatures().toPandas().sort_values("file_id", ignore_index=True)
+    assert before.equals(after)
+    assert sig_before[["file_id", "simhash"]].equals(sig_after[["file_id", "simhash"]])
+
+    # post-compaction batches still land + dedupe against the snapshot
+    inc.process_batch(spark.read.parquet(drops["paths"][0]), 99)
+    assert inc.pairs().toPandas().sort_values(["a", "b"], ignore_index=True).equals(after)
