@@ -953,6 +953,82 @@ WHERE rn = 1
 """
 
 
+def q_doc_category_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Category decision rules (classifier.py:661-712) + subcategory
+    string rules (classifier.py:354-391), re-domained from image signals
+    to document signals as a pure when/otherwise column tree:
+
+        family faces  -> known-language stopword hits (a trusted signal)
+        photo vs junk -> uniqueness ratio + token mass (quality score)
+        KEEP / REVIEW / TRASH exactly mirror the reference's precedence:
+        trusted signal wins, then quality, then junk.
+
+    Subcategory mirrors determine_subcategory's string-match labeling on
+    the winning signal.  Entirely JVM-side expressions: this is the
+    rule-tree operator class, trivially vectorized and pushed to scan."""
+    scored = q_lang_id_heuristic(spark, sf_dir).select(
+        "doc_id", "lang_pred", (F.col("en_hits") + F.col("es_hits") + F.col("fr_hits")).alias("hits")
+    )
+    stats = q_text_stats(spark, sf_dir).select("doc_id", "n_tokens", "uniq_ratio_ppm")
+    d = stats.join(scored, "doc_id")
+    category = (
+        F.when(F.col("n_tokens") == 0, "TRASH")                    # empty
+        .when(F.col("uniq_ratio_ppm") < 200_000, "TRASH")          # repetitive junk
+        .when(F.col("hits") >= 3, "KEEP")                          # trusted signal
+        .when(F.col("hits") == 0, "REVIEW")                        # unknown language
+        .when((F.col("n_tokens") >= 50) & (F.col("uniq_ratio_ppm") >= 500_000), "KEEP")
+        .otherwise("REVIEW")
+    )
+    subcategory = (
+        F.when(F.col("n_tokens") == 0, "empty")
+        .when(F.col("hits") >= 3, F.concat(F.lit("lang_"), "lang_pred"))
+        .when(F.col("n_tokens") < 50, "short")
+        .when(F.col("uniq_ratio_ppm") >= 800_000, "high_entropy")
+        .otherwise("other")
+    )
+    return d.select("doc_id", category.alias("category"), subcategory.alias("subcategory"))
+
+
+SQL_DOC_CATEGORY_RULES = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
+  FROM documents
+), stats AS (
+  SELECT doc_id,
+         len(tk)::BIGINT AS n_tokens,
+         (CASE WHEN len(tk) = 0 THEN 0
+               ELSE (len(list_distinct(tk)) * 1000000) // len(tk) END)::BIGINT AS uniq_ratio_ppm
+  FROM toks
+), hits AS (
+  SELECT doc_id,
+         len(list_filter(tk, x -> list_contains(['the','and','of','to','a','in'], lower(x))))::BIGINT AS en_hits,
+         len(list_filter(tk, x -> list_contains(['el','la','de','los','que','y'], lower(x))))::BIGINT AS es_hits,
+         len(list_filter(tk, x -> list_contains(['le','les','des','et','un','la'], lower(x))))::BIGINT AS fr_hits
+  FROM toks
+), scored AS (
+  SELECT s.doc_id, s.n_tokens, s.uniq_ratio_ppm,
+         h.en_hits + h.es_hits + h.fr_hits AS hits,
+         CASE WHEN h.en_hits >= h.es_hits AND h.en_hits >= h.fr_hits AND h.en_hits > 0 THEN 'en'
+              WHEN h.es_hits >= h.fr_hits AND h.es_hits > 0 THEN 'es'
+              WHEN h.fr_hits > 0 THEN 'fr' ELSE 'und' END AS lang_pred
+  FROM stats s JOIN hits h USING (doc_id)
+)
+SELECT doc_id,
+       CASE WHEN n_tokens = 0 THEN 'TRASH'
+            WHEN uniq_ratio_ppm < 200000 THEN 'TRASH'
+            WHEN hits >= 3 THEN 'KEEP'
+            WHEN hits = 0 THEN 'REVIEW'
+            WHEN n_tokens >= 50 AND uniq_ratio_ppm >= 500000 THEN 'KEEP'
+            ELSE 'REVIEW' END AS category,
+       CASE WHEN n_tokens = 0 THEN 'empty'
+            WHEN hits >= 3 THEN 'lang_' || lang_pred
+            WHEN n_tokens < 50 THEN 'short'
+            WHEN uniq_ratio_ppm >= 800000 THEN 'high_entropy'
+            ELSE 'other' END AS subcategory
+FROM scored
+"""
+
+
 def q_feedback_model_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained preference model (SURVEY §2.8; feedback.py:176-261):
     synthesize keep/trash decisions from the embedding labels
@@ -1168,6 +1244,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_bucketed": q_ann_lsh_bucketed,
     "embedding_similar_pairs": q_embedding_similar_pairs,
     "label_centroid_classifier": q_label_centroid_classifier,
+    "doc_category_rules": q_doc_category_rules,
     "feedback_model_predictions": q_feedback_model_predictions,
     "pricing_summary": q_pricing_summary,
     "top_orders_per_customer": q_top_orders_per_customer,
@@ -1195,6 +1272,7 @@ ORACLES: dict[str, str] = {
     "ann_lsh_bucketed": SQL_ANN_LSH_BUCKETED,
     "embedding_similar_pairs": SQL_EMBEDDING_SIMILAR_PAIRS,
     "label_centroid_classifier": SQL_LABEL_CENTROID_CLASSIFIER,
+    "doc_category_rules": SQL_DOC_CATEGORY_RULES,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "top_orders_per_customer": SQL_TOP_ORDERS_PER_CUSTOMER,
     "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,

@@ -72,3 +72,32 @@ def test_clusters_cover_exact_dup_members(spark, dup_dir):
     want = {tuple(r) for r in
             _oracle(dup_dir, ORACLES["dedup_clusters"]).itertuples(index=False)}
     assert got == want
+
+
+def test_category_rules_cover_trash_branches(spark, tmp_path):
+    """The sf corpora contain no empty/repetitive docs, so the TRASH
+    branches of the rule tree are pinned here against the same DuckDB
+    oracle on a planted corpus."""
+    from codedup.queries import SQL_DOC_CATEGORY_RULES, q_doc_category_rules
+
+    rows = [
+        (0, "en", ""),                                  # empty -> TRASH
+        (1, "en", "spam spam spam spam spam spam"),     # repetitive -> TRASH
+        (2, "en", "the cat and the dog of a king in a castle to see"),  # hits>=3 -> KEEP
+        (3, "en", "zx qw er ty"),                       # no hits -> REVIEW
+        # 1 hit (below the trusted-signal bar) + long + unique -> quality KEEP
+        (4, "en", "the " + " ".join(f"w{i}" for i in range(60))),
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(rows, "doc_id long, lang string, text string") \
+        .coalesce(1).write.mode("overwrite").parquet(d + "/documents.parquet")
+    got = {r["doc_id"]: (r["category"], r["subcategory"])
+           for r in q_doc_category_rules(spark, d).collect()}
+    assert got[0] == ("TRASH", "empty")
+    assert got[1] == ("TRASH", "short")
+    assert got[2][0] == "KEEP" and got[2][1] == "lang_en"
+    assert got[3] == ("REVIEW", "short")
+    assert got[4] == ("KEEP", "high_entropy")
+    want = {int(r.doc_id): (r.category, r.subcategory)
+            for r in _oracle(d, SQL_DOC_CATEGORY_RULES).itertuples(index=False)}
+    assert got == want
