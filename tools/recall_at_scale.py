@@ -1,0 +1,94 @@
+"""Recall/precision vs constructed truth at bench scale.
+
+Usage: python tools/recall_at_scale.py <corpus_dir> [work_dir] [cores]
+
+corpus_dir must contain files.parquet + truth_clusters.parquet (written
+by codedup.fixtures.write_corpus).  Runs the pipeline (resuming from
+work_dir if given), then compares co-membership pair sets ENTIRELY in
+Spark (the pair sets are tens of millions of rows at 500k-base scale —
+never collected):
+
+    truth co-membership: truth_clusters self-join on truth_cluster_id
+    pred  co-membership: members self-join on cluster_id
+    recall    = |pred ∩ truth| / |truth|
+    precision = |pred ∩ truth| / |pred restricted to truth keys|
+
+Prints one JSON line with stage walls from the run's manifests.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+
+def co_pairs(df, key_col: str, cid_col: str):
+    from pyspark.sql import functions as F
+
+    a = df.select(F.col(key_col).alias("ka"), F.col(cid_col).alias("c"))
+    b = df.select(F.col(key_col).alias("kb"), F.col(cid_col).alias("c"))
+    return a.join(b, "c").filter(F.col("ka") < F.col("kb")).select("ka", "kb")
+
+
+def main() -> int:
+    corpus = sys.argv[1]
+    work = sys.argv[2] if len(sys.argv) > 2 else None
+    cores = sys.argv[3] if len(sys.argv) > 3 else "32"
+
+    from codedup import pipeline
+    from codedup.config import DedupConfig
+    from codedup.session import build_session
+
+    cfg = DedupConfig(shuffle_partitions=128)
+    spark = build_session(f"local[{cores}]", app_name="recall-at-scale",
+                          shuffle_partitions=128)
+    spark.sparkContext.setLogLevel("ERROR")
+    n = spark.read.parquet(f"{corpus}/files.parquet").count()
+
+    t0 = time.time()
+    res = pipeline.run(spark, [f"{corpus}/files.parquet"], cfg,
+                       work_dir=work, run_id="recall", resume=bool(work))
+    wall = time.time() - t0
+
+    truth = spark.read.parquet(f"{corpus}/truth_clusters.parquet")
+    truth_cc = co_pairs(truth, "key", "truth_cluster_id").localCheckpoint(eager=True)
+    pred_all = co_pairs(res.members, "key", "cluster_id").localCheckpoint(eager=True)
+    truth_keys = truth.select("key")
+    pred = (
+        pred_all
+        .join(truth_keys.withColumnRenamed("key", "ka"), "ka", "left_semi")
+        .join(truth_keys.withColumnRenamed("key", "kb"), "kb", "left_semi")
+        .localCheckpoint(eager=True)
+    )
+
+    n_truth = truth_cc.count()
+    n_pred = pred.count()
+    n_inter = pred.join(truth_cc, ["ka", "kb"], "left_semi").count()
+
+    stages = {}
+    if work:
+        for m in glob.glob(os.path.join(work, "runs", "recall", "*.manifest.json")):
+            with open(m) as f:
+                d = json.load(f)
+            stages[d["stage"]] = round(d["wall_ms"] / 1000, 1)
+
+    print(json.dumps({
+        "files": n,
+        "wall_s": round(wall, 1),
+        "files_per_sec": round(n / wall, 1),
+        "truth_pairs": n_truth,
+        "pred_pairs": n_pred,
+        "recall": round(n_inter / n_truth, 6) if n_truth else 1.0,
+        "precision": round(n_inter / n_pred, 6) if n_pred else 1.0,
+        "stages": stages,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
