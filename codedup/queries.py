@@ -1170,6 +1170,29 @@ WHERE EXISTS (SELECT 1 FROM orders o
 """
 
 
+def q_nation_customer_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 first-N truncation (errors[:10] / sample_paths[:5] in the
+    reference): per nation, the first 5 customer names in sorted order —
+    slice(sort_array(collect_list(...))) keeps the aggregation bounded
+    and deterministic; emitted as one comma-joined string because the
+    value-hash compare is defined on scalars."""
+    c = _t(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.concat_ws(",", F.slice(F.sort_array(F.collect_list("c_name")), 1, 5))
+        .alias("sample_names"),
+    )
+
+
+SQL_NATION_CUSTOMER_SAMPLE = """
+SELECT c_nationkey,
+       count(*) AS n_customers,
+       array_to_string(list_slice(list_sort(list(c_name)), 1, 5), ',') AS sample_names
+FROM customer
+GROUP BY 1
+"""
+
+
 def q_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8 analog (per-person unique-image count, classifier.py:280-307):
     exact distinct-user count + event volume per event type."""
@@ -1251,6 +1274,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customers_without_orders": q_customers_without_orders,
     "big_customers_semi": q_big_customers_semi,
     "user_activity": q_user_activity,
+    "nation_customer_sample": q_nation_customer_sample,
     "revenue_by_nation": q_revenue_by_nation,
     "events_daily_top_types": q_events_daily_top_types,
 }
@@ -1278,6 +1302,7 @@ ORACLES: dict[str, str] = {
     "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
     "big_customers_semi": SQL_BIG_CUSTOMERS_SEMI,
     "user_activity": SQL_USER_ACTIVITY,
+    "nation_customer_sample": SQL_NATION_CUSTOMER_SAMPLE,
     "revenue_by_nation": SQL_REVENUE_BY_NATION,
     "events_daily_top_types": SQL_EVENTS_DAILY_TOP_TYPES,
 }

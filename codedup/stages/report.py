@@ -45,6 +45,20 @@ def cluster_stats(ranked: DataFrame) -> DataFrame:
     )
 
 
+def cluster_samples(ranked: DataFrame, n: int = 5) -> DataFrame:
+    """W3 first-N truncation, relationally (cli.py:130-133 shows the
+    first 10 errors; classifier.py:286 samples paths[:5]): per cluster,
+    the first ``n`` member keys in rank order — slice(sort_array(...))
+    keeps the agg bounded and deterministic; the collect_list never
+    leaves the executor."""
+    return ranked.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.slice(
+            F.sort_array(F.collect_list(F.struct("rank", "key"))), 1, n
+        ).getField("key").alias("sample_keys"),
+    )
+
+
 def action_plan(ranked: DataFrame) -> DataFrame:
     """S10/S12 analog: the reference MOVES duplicate files to a review
     folder (cli.py:240-282) / organizes by category (classify_server.py:

@@ -65,3 +65,18 @@ def test_report_counts_match_golden(run_tiny, gold, tiny):
     assert rep["total_files"] == gold["report"]["total_files"]
     assert rep["total_size_bytes"] == gold["report"]["total_bytes"]
     assert rep["duplicate_groups"] == gold["report"]["duplicate_components"]
+
+
+def test_cluster_samples_truncate(run_tiny):
+    """W3: first-N member keys per cluster, in rank order, bounded."""
+    from pyspark.sql import functions as F
+
+    from codedup.stages.report import cluster_samples
+
+    s = cluster_samples(run_tiny.members, n=3)
+    rows = s.collect()
+    assert rows and all(1 <= len(r["sample_keys"]) <= 3 for r in rows)
+    # rank-1 (keep) member always leads the sample
+    keeps = {r["cluster_id"]: r["key"]
+             for r in run_tiny.members.filter(F.col("rank") == 1).collect()}
+    assert all(r["sample_keys"][0] == keeps[r["cluster_id"]] for r in rows)
