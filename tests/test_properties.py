@@ -24,9 +24,41 @@ def test_shingles_invariant_under_crlf_and_trailing_ws(t):
 @given(text, st.integers(2, 12))
 @settings(max_examples=80, deadline=None)
 def test_shingle_count_bound(t, k):
+    # windows are over CODE POINTS (kernel v4), so the tight bound is
+    # in characters, not utf-8 bytes
     sh = K.shingle_hashes(t, k, normalize_ws=False)
-    n = len(t.encode("utf-8", errors="surrogatepass"))
+    n = len(t)
     assert sh.size <= max(n - k + 1, 1 if n else 0)
+
+
+tokens_list = st.lists(
+    st.text(alphabet="abcdefgh", min_size=1, max_size=4), min_size=0, max_size=30
+)
+
+
+@given(tokens_list, st.integers(1, 5))
+@settings(max_examples=80, deadline=None)
+def test_token_shingle_count_bound_and_ws_invariance(toks, k):
+    t = " ".join(toks)
+    sh = K.shingle_hashes(t, k, mode="token")
+    assert sh.size <= max(len(toks) - k + 1, 1 if toks else 0)
+    noisy = "\t ".join(toks) + ("  \n" if toks else "")
+    assert np.array_equal(sh, K.shingle_hashes(noisy, k, mode="token"))
+
+
+@given(tokens_list, tokens_list, st.integers(1, 4))
+@settings(max_examples=60, deadline=None)
+def test_token_jaccard_equals_string_gram_jaccard(ta, tb, k):
+    def grams(toks):
+        if not toks:
+            return set()
+        return {" ".join(toks[i:i + k]) for i in range(max(len(toks) - k + 1, 1))}
+
+    sa = K.shingle_hashes(" ".join(ta), k, mode="token")
+    sb = K.shingle_hashes(" ".join(tb), k, mode="token")
+    inter, union = K.jaccard_counts(sa, sb)
+    ga, gb = grams(ta), grams(tb)
+    assert (inter, union) == (len(ga & gb), len(ga | gb))
 
 
 @given(st.lists(st.integers(0, 2**63 - 1), min_size=1, max_size=300, unique=True),
