@@ -964,13 +964,35 @@ def q_doc_category_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         trusted signal wins, then quality, then junk.
 
     Subcategory mirrors determine_subcategory's string-match labeling on
-    the winning signal.  Entirely JVM-side expressions: this is the
+    the winning signal.  Entirely JVM-side expressions in ONE pass over
+    the documents scan — the fat `text` column is read once and never
+    shuffled (every signal is a per-row expression): this is the
     rule-tree operator class, trivially vectorized and pushed to scan."""
-    scored = q_lang_id_heuristic(spark, sf_dir).select(
-        "doc_id", "lang_pred", (F.col("en_hits") + F.col("es_hits") + F.col("fr_hits")).alias("hits")
+    docs = _t(spark, sf_dir, "documents")
+    sig_cols = [F.col("doc_id")]
+    for lang, words in _STOPSETS.items():
+        arr = ", ".join(f"'{w}'" for w in words)
+        sig_cols.append(
+            F.expr(f"size(filter({_TOKENS}, x -> array_contains(array({arr}), lower(x))))")
+            .cast("long").alias(f"{lang}_hits")
+        )
+    sig_cols.append(F.expr(f"size({_TOKENS})").cast("long").alias("n_tokens"))
+    sig_cols.append(
+        F.expr(
+            f"CASE WHEN size({_TOKENS}) = 0 THEN 0 ELSE"
+            f" (size(array_distinct({_TOKENS})) * 1000000) div size({_TOKENS}) END"
+        ).cast("long").alias("uniq_ratio_ppm")
     )
-    stats = q_text_stats(spark, sf_dir).select("doc_id", "n_tokens", "uniq_ratio_ppm")
-    d = stats.join(scored, "doc_id")
+    d = docs.select(*sig_cols).withColumn(
+        "hits", F.col("en_hits") + F.col("es_hits") + F.col("fr_hits")
+    ).withColumn(
+        "lang_pred",
+        F.expr(
+            "CASE WHEN en_hits >= es_hits AND en_hits >= fr_hits AND en_hits > 0 THEN 'en' "
+            "WHEN es_hits >= fr_hits AND es_hits > 0 THEN 'es' "
+            "WHEN fr_hits > 0 THEN 'fr' ELSE 'und' END"
+        ),
+    )
     category = (
         F.when(F.col("n_tokens") == 0, "TRASH")                    # empty
         .when(F.col("uniq_ratio_ppm") < 200_000, "TRASH")          # repetitive junk

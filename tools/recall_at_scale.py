@@ -28,10 +28,14 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 
 
 def co_pairs(df, key_col: str, cid_col: str):
+    """Co-membership pairs with keys HASHED to longs (xxhash64): at the
+    888k tier the pair sets are ~79M rows — 16-byte long pairs stay
+    memory-resident where 50-byte string keys would not."""
     from pyspark.sql import functions as F
 
-    a = df.select(F.col(key_col).alias("ka"), F.col(cid_col).alias("c"))
-    b = df.select(F.col(key_col).alias("kb"), F.col(cid_col).alias("c"))
+    h = df.select(F.xxhash64(F.col(key_col)).alias("k"), F.col(cid_col).alias("c"))
+    a = h.select(F.col("k").alias("ka"), "c")
+    b = h.select(F.col("k").alias("kb"), "c")
     return a.join(b, "c").filter(F.col("ka") < F.col("kb")).select("ka", "kb")
 
 
@@ -57,14 +61,10 @@ def main() -> int:
 
     truth = spark.read.parquet(f"{corpus}/truth_clusters.parquet")
     truth_cc = co_pairs(truth, "key", "truth_cluster_id").localCheckpoint(eager=True)
-    pred_all = co_pairs(res.members, "key", "cluster_id").localCheckpoint(eager=True)
-    truth_keys = truth.select("key")
-    pred = (
-        pred_all
-        .join(truth_keys.withColumnRenamed("key", "ka"), "ka", "left_semi")
-        .join(truth_keys.withColumnRenamed("key", "kb"), "kb", "left_semi")
-        .localCheckpoint(eager=True)
-    )
+    # restrict members to truth keys BEFORE pairing (precision is
+    # defined over truth keys; this also shrinks giant clusters first)
+    members_t = res.members.join(truth.select("key"), "key", "left_semi")
+    pred = co_pairs(members_t, "key", "cluster_id").localCheckpoint(eager=True)
 
     n_truth = truth_cc.count()
     n_pred = pred.count()
