@@ -59,7 +59,15 @@ def plan_moves(actions: DataFrame, dest_root: str,
 
     ``existing``: optional (name string) table of files already present
     in the destination; they keep their names, movers probe around
-    them."""
+    them.
+
+    Scale bound: ordinal assignment is a window per (stem, suffix), so
+    one pathologically hot basename (think __init__.py at 10^12 files)
+    serializes its movers into one sort task — fine to ~10^7 movers per
+    name; beyond that, salt the window and offset each salt group by
+    the exclusive prefix sum of group counts (same order, parallel
+    sort).  Candidate probing is already linear: m+e+1 names per
+    (stem, suffix), never quadratic."""
     spark = actions.sparkSession
     movers = (
         actions.filter(F.col("action").isin(*MOVE_ACTIONS))
