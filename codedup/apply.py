@@ -118,6 +118,28 @@ def plan_moves(actions: DataFrame, dest_root: str,
     )
 
 
+def plan_deletes(actions: DataFrame) -> DataFrame:
+    """S11 delete sink, planning half: rows safe to DELETE are the
+    byte-identical duplicates only (action='dedup' — same sha256 as the
+    kept exemplar); near-duplicates stay 'review' and are never planned
+    for deletion.  Execute with apply_moves (same manifest/idempotence
+    mechanics; use a separate manifest_dir) and reflect with
+    post_delete_files."""
+    return actions.filter(F.col("action") == "dedup").select(
+        "file_id", "key", "cluster_id", "rank", "action"
+    )
+
+
+def post_delete_files(fp: DataFrame, manifest_dir: str, spark: SparkSession) -> DataFrame:
+    """files table AFTER applied deletes: manifest rows anti-joined out
+    (the state-table analog of unlink)."""
+    manifest_path = os.path.join(manifest_dir, "applied.parquet")
+    if not os.path.isdir(manifest_path):
+        return fp
+    applied = spark.read.parquet(manifest_path).select("file_id")
+    return fp.join(applied, "file_id", "left_anti")
+
+
 def apply_moves(spark: SparkSession, moves: DataFrame, manifest_dir: str,
                 dry_run: bool = False) -> dict:
     """Execute a move plan against a manifest directory.

@@ -38,6 +38,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--full-report", action="store_true",
                    help="emit the reference-shaped report with per-group "
                         "member lists (cli.py:285-321 shape), not just the summary")
+    p.add_argument("--html", action="store_true",
+                   help="also write <work-dir>/runs/<run-id>/report.html "
+                        "(S13 HTML sink, reference --format html analog)")
     p.add_argument("--jaccard-threshold", type=float, default=None)
     p.add_argument("--shingle-k", type=int, default=None)
     p.add_argument("--bands", type=int, default=None)
@@ -91,12 +94,20 @@ def main(argv: list[str] | None = None) -> int:
             resume=not args.no_resume,
             langs=args.langs,
         )
-        if args.full_report:
+        if args.full_report or args.html:
             from codedup.stages.report import reference_style_report
 
-            out = reference_style_report(res.fingerprints, res.members, res.verified)
+            full = reference_style_report(res.fingerprints, res.members, res.verified)
+            out = full if args.full_report else dict(res.report)
         else:
             out = dict(res.report)
+        if args.html:
+            from codedup.stages.report import render_html_report
+
+            html_path = os.path.join(args.work_dir, "runs", args.run_id, "report.html")
+            os.makedirs(os.path.dirname(html_path), exist_ok=True)
+            with open(html_path, "w") as f:
+                f.write(render_html_report(full))
         out["config_fingerprint"] = cfg.fingerprint()
         out["recomputed_stages"] = res.recomputed_stages
         json.dump(out, sys.stdout, indent=1, sort_keys=True)

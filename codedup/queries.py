@@ -1192,6 +1192,31 @@ WHERE EXISTS (SELECT 1 FROM orders o
 """
 
 
+def q_orders_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 status-partition filter + P7 pagination, as the serving layer
+    would run them: filter on the status column (pushed to the scan),
+    then KEYSET pagination (WHERE key > cursor ORDER BY key LIMIT n) —
+    the only pagination that stays O(page) at 10^12 rows; OFFSET would
+    scan-and-discard the prefix."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.filter((F.col("o_orderstatus") == "O") & (F.col("o_orderkey") > 1000))
+        .orderBy("o_orderkey")
+        .limit(50)
+        .select("o_orderkey", "o_custkey", "o_orderstatus",
+                F.round("o_totalprice", 2).alias("o_totalprice"))
+    )
+
+
+SQL_ORDERS_KEYSET_PAGE = """
+SELECT o_orderkey, o_custkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice
+FROM orders
+WHERE o_orderstatus = 'O' AND o_orderkey > 1000
+ORDER BY o_orderkey
+LIMIT 50
+"""
+
+
 def q_nation_customer_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W3 first-N truncation (errors[:10] / sample_paths[:5] in the
     reference): per nation, the first 5 customer names in sorted order —
@@ -1297,6 +1322,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "big_customers_semi": q_big_customers_semi,
     "user_activity": q_user_activity,
     "nation_customer_sample": q_nation_customer_sample,
+    "orders_keyset_page": q_orders_keyset_page,
     "revenue_by_nation": q_revenue_by_nation,
     "events_daily_top_types": q_events_daily_top_types,
 }
@@ -1325,6 +1351,7 @@ ORACLES: dict[str, str] = {
     "big_customers_semi": SQL_BIG_CUSTOMERS_SEMI,
     "user_activity": SQL_USER_ACTIVITY,
     "nation_customer_sample": SQL_NATION_CUSTOMER_SAMPLE,
+    "orders_keyset_page": SQL_ORDERS_KEYSET_PAGE,
     "revenue_by_nation": SQL_REVENUE_BY_NATION,
     "events_daily_top_types": SQL_EVENTS_DAILY_TOP_TYPES,
 }

@@ -90,6 +90,100 @@ def action_plan(ranked: DataFrame) -> DataFrame:
     )
 
 
+_SIZE_UNITS = ["B", "KB", "MB", "GB", "TB", "PB"]
+
+
+def format_size(n: int) -> str:
+    """K8 human size formatter (reference utils: 1536 -> '1.5 KB').
+    Driver-side twin of format_size_col for report dicts."""
+    x = float(n)
+    for u in _SIZE_UNITS:
+        if abs(x) < 1024.0 or u == _SIZE_UNITS[-1]:
+            return f"{int(x)} {u}" if u == "B" else f"{x:.1f} {u}"
+        x /= 1024.0
+    return f"{x:.1f} PB"
+
+
+def format_size_col(col: Column) -> Column:
+    """K8 as a JVM expression (no UDF): human-readable size string for
+    report columns — log-bucketed unit + one decimal."""
+    c = col.cast("double")
+    # built smallest-unit-out, so the final CASE checks largest first;
+    # B stays integer like the reference
+    out = F.concat(col.cast("long").cast("string"), F.lit(" B"))
+    scale = 1024.0
+    for u in _SIZE_UNITS[1:]:
+        out = F.when(c >= scale, F.concat(F.round(c / scale, 1).cast("string"),
+                                          F.lit(" " + u))).otherwise(out)
+        scale *= 1024.0
+    return out
+
+
+def reconcile_members(old: DataFrame, new: DataFrame) -> DataFrame:
+    """J8 report-item reconciliation (MERGE shape): full outer join of
+    two runs' member tables on file_id, per-row status:
+
+        new        in the new run only (file appeared / newly grouped)
+        removed    in the old run only
+        moved      present in both, cluster changed
+        unchanged  present in both, same cluster
+
+    This is the relational core of the reference's report-item matching
+    (server.py report reconciliation); an Iceberg deployment would
+    express the same thing as MERGE INTO."""
+    o = old.select(F.col("file_id"), F.col("cluster_id").alias("old_cluster"))
+    n = new.select(F.col("file_id"), F.col("cluster_id").alias("new_cluster"))
+    return (
+        o.join(n, "file_id", "full_outer")
+        .withColumn(
+            "status",
+            F.when(F.col("old_cluster").isNull(), "new")
+            .when(F.col("new_cluster").isNull(), "removed")
+            .when(F.col("old_cluster") != F.col("new_cluster"), "moved")
+            .otherwise("unchanged"),
+        )
+    )
+
+
+def render_html_report(report: dict) -> str:
+    """S13 HTML sink: the reference writes an HTML report next to the
+    JSON one (cli.py --format html).  Report-sized data, driver-side by
+    design; structure mirrors reference_style_report's dict."""
+    import html
+
+    s = report.get("summary", {})
+    rows = "".join(
+        f"<tr><td>{html.escape(str(k))}</td><td>{html.escape(str(v))}</td></tr>"
+        for k, v in sorted(s.items())
+    )
+
+    def group_rows(groups, id_key):
+        out = []
+        for g in groups[:1000]:  # W3 truncation guards the sink too
+            files = ", ".join(html.escape(f["path"]) for f in g["files"][:5])
+            more = f" (+{len(g['files']) - 5} more)" if len(g["files"]) > 5 else ""
+            out.append(
+                f"<tr><td>{html.escape(str(g.get(id_key, '')))}</td>"
+                f"<td>{len(g['files'])}</td>"
+                f"<td>{format_size(g['potential_savings'])}</td>"
+                f"<td>{files}{more}</td></tr>"
+            )
+        return "".join(out)
+
+    exact = group_rows(report.get("exact_duplicates", []), "hash")
+    similar = group_rows(report.get("similar_groups", []), "group_id")
+    return (
+        "<!doctype html><html><head><meta charset='utf-8'>"
+        "<title>codedup report</title></head><body>"
+        f"<h1>Deduplication report</h1><table>{rows}</table>"
+        f"<h2>Exact duplicates</h2><table><tr><th>hash</th><th>files</th>"
+        f"<th>savings</th><th>members</th></tr>{exact}</table>"
+        f"<h2>Similar groups</h2><table><tr><th>group</th><th>files</th>"
+        f"<th>savings</th><th>members</th></tr>{similar}</table>"
+        "</body></html>"
+    )
+
+
 def greedy_groups(verified: DataFrame, order: DataFrame) -> list[list[str]]:
     """EXACT reference grouping semantics (dedup.py:204-240): iterate
     files in scan order; the first unmatched file seeds a group and
