@@ -904,6 +904,20 @@ WHERE rank <= 5
 SQL_ANN_LSH_BUCKETED = _sql_ann_lsh()
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer ANN (codedup.ann): KMeans cells + nprobe
+    cell search + exact cosine rank within candidates.  Probabilistic
+    recall by design (verified >= 0.8 vs brute force in
+    tests/test_ann_ivf.py with this exact config), so no value-exact
+    SQL oracle — the driver records the rows-only check."""
+    from codedup.ann import build_ivf, ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned, centroids = build_ivf(emb, n_cells=16, seed=42)
+    probes = emb.filter(F.col("vec_id") % 50 == 0)
+    return ivf_topk(assigned, centroids, probes, k=5, nprobe=6)
+
+
 def q_label_centroid_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest-centroid classifier over the labeled embeddings — the
     relational analog of the reference's feedback preference model
@@ -1313,6 +1327,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk_cosine": q_ann_topk_cosine,
     "ann_lsh_bucketed": q_ann_lsh_bucketed,
     "embedding_similar_pairs": q_embedding_similar_pairs,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "label_centroid_classifier": q_label_centroid_classifier,
     "doc_category_rules": q_doc_category_rules,
     "feedback_model_predictions": q_feedback_model_predictions,
