@@ -98,8 +98,36 @@ def main() -> int:
                 QUERIES["revenue_by_nation"](spark, SF), expect_broadcast=True)
     ok &= audit("query: pricing_summary", QUERIES["pricing_summary"](spark, SF))
     ok &= audit("query: top_orders_per_customer", QUERIES["top_orders_per_customer"](spark, SF))
-    ok &= audit("query: dedup_ngram_jaccard", QUERIES["dedup_ngram_jaccard"](spark, SF),
-                expect_no_python=False)
+    ok &= audit("query: dedup_ngram_jaccard (blocked BLAS sweep)",
+                QUERIES["dedup_ngram_jaccard"](spark, SF), expect_no_python=False)
+
+    # round-2 plan properties: the bucketed ANN must be an EQUI hash
+    # join (no BroadcastNestedLoopJoin), the block-matmul embedding
+    # queries must be Arrow-staged with no driver collect in the plan
+    def audit_no_bnlj(name, df, expect_no_python=True):
+        plan = plan_of(df)
+        notes = []
+        bnlj_ok = "BroadcastNestedLoopJoin" not in plan
+        notes.append(f"{'OK' if bnlj_ok else 'VIOLATION'}: no BroadcastNestedLoopJoin")
+        hash_ok = any(j in plan for j in
+                      ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin"))
+        notes.append(f"{'OK' if hash_ok else 'VIOLATION'}: hash/merge join present")
+        if not expect_no_python:
+            notes.append(f"{'OK' if 'MapInPandas' in plan else 'VIOLATION'}: "
+                         "MapInPandas present (Arrow stage)")
+        sections.append((name, plan, notes))
+        return bnlj_ok and hash_ok
+
+    ok &= audit_no_bnlj("query: ann_lsh_bucketed (multi-probe equi-join)",
+                        QUERIES["ann_lsh_bucketed"](spark, SF))
+    ok &= audit("query: ann_topk_cosine (block matmul)",
+                QUERIES["ann_topk_cosine"](spark, SF), expect_no_python=False)
+    ok &= audit("query: embedding_similar_pairs (block matmul)",
+                QUERIES["embedding_similar_pairs"](spark, SF), expect_no_python=False)
+    ok &= audit("query: doc_category_rules (single-pass rule tree)",
+                QUERIES["doc_category_rules"](spark, SF))
+    ok &= audit("query: orders_keyset_page (serving filter + keyset page)",
+                QUERIES["orders_keyset_page"](spark, SF))
 
     with open(OUT, "w") as f:
         f.write("# EXPLAIN — physical-plan audit\n\n")
