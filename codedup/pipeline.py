@@ -66,9 +66,18 @@ def run(
     resume: bool = True,
     langs: list[str] | None = None,
     use_signature_cache: bool = True,
+    storage=None,
 ) -> PipelineResult:
+    """``storage``: optional injected checkpoint backend implementing
+    the ParquetStorage contract (is_complete/read/write) — e.g.
+    iceberg.IcebergStorage on a cluster with a catalog.  Defaults to
+    ParquetStorage under ``work_dir``.  The cross-run SignatureCache is
+    parquet-path-based and engages only for the default backend."""
     cfg = cfg or DedupConfig()
-    store = ParquetStorage(work_dir, run_id, cfg.fingerprint()) if work_dir else None
+    if storage is not None:
+        store = storage
+    else:
+        store = ParquetStorage(work_dir, run_id, cfg.fingerprint()) if work_dir else None
     recomputed: list[str] = []
     dirty = False  # once any stage recomputes, everything downstream must too
 
@@ -109,7 +118,9 @@ def run(
     reps = stage("reps", lambda: representatives(fp))
 
     def build_signatures() -> DataFrame:
-        cache = SignatureCache(store.root, cfg.fingerprint()) if (store and use_signature_cache) else None
+        cache = (SignatureCache(store.root, cfg.fingerprint())
+                 if (store is not None and use_signature_cache and hasattr(store, "root"))
+                 else None)
         cached = cache.read(spark) if cache else None
         rep_ids = reps.select("file_id", "content")
         if cached is None:
@@ -148,7 +159,7 @@ def run(
         else action_plan(members)
     rep = summary(fp, members)
 
-    if store is not None:
+    if store is not None and hasattr(store, "run_dir"):
         with open(os.path.join(store.run_dir, "report.json"), "w") as f:
             json.dump(rep, f, indent=1, sort_keys=True)
 

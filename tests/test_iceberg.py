@@ -143,3 +143,20 @@ def test_all_manifests_scopes_to_run(fake):
     other.write(FakeDF([1], fake), "bands")
     names = [m["stage"] for m in st.all_manifests()]
     assert names == ["bands", "candidates"]
+
+
+def test_pipeline_accepts_injected_storage(spark, tiny, cfg, tmp_path):
+    """pipeline.run(storage=...) uses the injected backend for every
+    stage (the seam IcebergStorage plugs into on a real cluster);
+    resume semantics flow through the same is_complete/read/write
+    contract."""
+    from codedup import pipeline
+    from codedup.storage import ParquetStorage
+
+    store = ParquetStorage(str(tmp_path / "w"), "inj", cfg.fingerprint())
+    r1 = pipeline.run(spark, [tiny["paths"]["files"]], cfg, storage=store,
+                      run_id="inj", resume=False)
+    assert r1.recomputed_stages == pipeline.STAGES
+    r2 = pipeline.run(spark, [tiny["paths"]["files"]], cfg, storage=store,
+                      run_id="inj", resume=True)
+    assert r2.recomputed_stages == []
