@@ -33,6 +33,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Spark master (default: let spark-submit decide; "
                         "falls back to local[*] when run directly)")
     p.add_argument("--langs", nargs="*", default=None, help="optional lang filter")
+    p.add_argument("--source-format", default="parquet",
+                   choices=["parquet", "json", "csv", "orc"],
+                   help="encoding of the source table(s) (default parquet)")
     p.add_argument("--no-resume", action="store_true",
                    help="recompute every stage even if checkpoints exist")
     p.add_argument("--full-report", action="store_true",
@@ -93,6 +96,7 @@ def main(argv: list[str] | None = None) -> int:
             run_id=args.run_id,
             resume=not args.no_resume,
             langs=args.langs,
+            source_format=args.source_format,
         )
         if args.full_report or args.html:
             from codedup.stages.report import reference_style_report

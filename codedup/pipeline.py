@@ -67,6 +67,7 @@ def run(
     langs: list[str] | None = None,
     use_signature_cache: bool = True,
     storage=None,
+    source_format: str = "parquet",
 ) -> PipelineResult:
     """``storage``: optional injected checkpoint backend implementing
     the ParquetStorage contract (is_complete/read/write) — e.g.
@@ -96,7 +97,8 @@ def run(
         recomputed.append(name)
         return build()
 
-    files, ingest_errors = split_invalid(read_files(spark, *source_paths, langs=langs))
+    files, ingest_errors = split_invalid(
+        read_files(spark, *source_paths, langs=langs, fmt=source_format))
     if store is not None:
         stage("errors", lambda: ingest_errors)
     fp_all = stage("fingerprint", lambda: fingerprint(files))

@@ -23,12 +23,40 @@ FILES_SCHEMA = T.StructType([
 ])
 
 
-def read_files(spark: SparkSession, *paths: str, langs: list[str] | None = None) -> DataFrame:
+SOURCE_FORMATS = ("parquet", "json", "csv", "orc")
+
+
+def read_files(spark: SparkSession, *paths: str, langs: list[str] | None = None,
+               fmt: str = "parquet", **options) -> DataFrame:
     """Scan one or more source tables, union, dedup overlapping keys.
 
+    ``fmt``: any of SOURCE_FORMATS — the reference scans image
+    directories; here a "format" is a table encoding of the same
+    files(repo,path,commit,lang,content) schema, enforced explicitly so
+    schema drift in text formats (csv/json infer nothing) fails loudly
+    at read time rather than corrupting keys.  parquet/orc keep
+    pushdown + column pruning; csv/json are ingest-only formats a
+    pipeline would normally convert once.
+
     The lang filter is applied before anything else so Catalyst pushes
-    it into the parquet scan (check: PushedFilters in .explain)."""
-    dfs = [spark.read.schema(FILES_SCHEMA).parquet(p) for p in paths]
+    it into the columnar scans (check: PushedFilters in .explain)."""
+    if fmt not in SOURCE_FORMATS:
+        raise ValueError(f"unsupported source format {fmt!r}; one of {SOURCE_FORMATS}")
+    reader = spark.read.schema(FILES_SCHEMA).format(fmt)
+    if fmt == "csv":
+        # content contains newlines/quotes: full-quoting multiline CSV;
+        # univocity trims field-edge whitespace by default, which EATS
+        # trailing newlines of quoted content -> corrupted sha256, so
+        # trimming is disabled explicitly
+        # nullValue='\N': an empty field means EMPTY STRING (valid
+        # content), not null — writers emit the sentinel for true nulls
+        reader = reader.options(header="true", multiLine="true", escape='"',
+                                ignoreLeadingWhiteSpace="false",
+                                ignoreTrailingWhiteSpace="false",
+                                nullValue="\\N")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    dfs = [reader.load(p) for p in paths]
     df = dfs[0]
     for d in dfs[1:]:
         df = df.unionByName(d)

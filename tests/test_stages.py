@@ -168,3 +168,36 @@ def test_candidates_pair_dedup_across_bands(spark, cfg):
     pairs = candidate_pairs(bands, cfg).toPandas()
     assert len(pairs) == 1
     assert (pairs.a[0], pairs.b[0]) == (1, 2)
+
+
+def test_multi_format_ingest_identical(spark, tiny, tmp_path):
+    """S1 source formats: the same corpus read from json/csv/orc must
+    fingerprint identically to the parquet path (sha256 set equality —
+    the per-row invariant across encodings)."""
+    from codedup.stages.fingerprint import fingerprint
+    from codedup.stages.ingest import read_files
+
+    base = read_files(spark, tiny["paths"]["files"])
+    want = {r["sha256"] for r in fingerprint(base).select("sha256").collect()}
+    n = base.count()
+
+    for fmt in ("json", "csv", "orc"):
+        p = str(tmp_path / f"files_{fmt}")
+        w = base.coalesce(1).write.mode("overwrite")
+        if fmt == "csv":
+            # Spark's CSV WRITER also trims field-edge whitespace by
+            # default (ignore*WhiteSpace write-default is true) — that
+            # silently corrupts content hashes, so both sides disable it
+            w = w.options(header="true", escape='"',
+                          ignoreLeadingWhiteSpace="false",
+                          ignoreTrailingWhiteSpace="false",
+                          nullValue="\\N")
+        w.format(fmt).save(p)
+        got_df = read_files(spark, p, fmt=fmt)
+        assert got_df.count() == n, fmt
+        got = {r["sha256"] for r in fingerprint(got_df).select("sha256").collect()}
+        assert got == want, f"{fmt} round-trip changed content hashes"
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unsupported source format"):
+        read_files(spark, "x", fmt="avro")
