@@ -86,7 +86,8 @@ def exact_jaccard_join(sh: DataFrame, threshold: float) -> DataFrame:
     return out
 
 
-def blocked_jaccard_join(sh: DataFrame, threshold: float, n_blocks: int = 16) -> DataFrame:
+def blocked_jaccard_join(sh: DataFrame, threshold: float, n_blocks: int = 16,
+                         metric: str = "jaccard") -> DataFrame:
     """Exact all-pairs Jaccard join for SMALL-VOCABULARY corpora, as a
     block-partitioned inverted-index scan — fully distributed, nothing
     ever collected to the driver.
@@ -131,12 +132,13 @@ def blocked_jaccard_join(sh: DataFrame, threshold: float, n_blocks: int = 16) ->
         .groupBy("_blk")
         .applyInPandas(pack, schema=_PACK_SCHEMA())
     )
-    return _sweep_block_pairs(blocks, threshold, n_blocks)
+    return _sweep_block_pairs(blocks, threshold, n_blocks, metric)
 
 
 def blocked_jaccard_join_text(docs: DataFrame, id_col: str, text_col: str,
                               k: int, threshold: float,
-                              n_blocks: int = 16) -> DataFrame:
+                              n_blocks: int = 16,
+                              metric: str = "jaccard") -> DataFrame:
     """blocked_jaccard_join specialized to char-k-gram sets of a text
     column: shingling happens INSIDE the pack UDF (numpy rolling hash
     per document, kernels.shingle_hashes), so only the raw documents are
@@ -173,7 +175,7 @@ def blocked_jaccard_join_text(docs: DataFrame, id_col: str, text_col: str,
         .groupBy("_blk")
         .applyInPandas(pack, schema=_PACK_SCHEMA())
     )
-    return _sweep_block_pairs(blocks, threshold, n_blocks)
+    return _sweep_block_pairs(blocks, threshold, n_blocks, metric)
 
 
 def _PACK_SCHEMA():
@@ -187,10 +189,19 @@ def _PACK_SCHEMA():
     ])
 
 
-def _sweep_block_pairs(blocks: DataFrame, threshold: float, n_blocks: int) -> DataFrame:
+def _sweep_block_pairs(blocks: DataFrame, threshold: float, n_blocks: int,
+                       metric: str = "jaccard") -> DataFrame:
     """Shared sweep over packed set-blocks: unordered block pairs
     crossJoin; each task intersects one pair with a dense 0/1 matmul
-    over the pair-local vocabulary."""
+    over the pair-local vocabulary.
+
+    metric="jaccard":      threshold on c / (na + nb - c)
+    metric="containment":  threshold on c / min(na, nb) — max-containment,
+        the near-SUBSET detector (a small file pasted inside a big one
+        has high containment but low Jaccard); same candidates, same
+        exact integer math, different denominator."""
+    if metric not in ("jaccard", "containment"):
+        raise ValueError(f"unknown metric {metric!r}")
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
@@ -246,8 +257,12 @@ def _sweep_block_pairs(blocks: DataFrame, threshold: float, n_blocks: int) -> Da
                     xmat[x_row_doc[rlo:rhi] - lo, x_inv[rlo:rhi]] = 1.0
                     cnt = np.rint(xmat @ ymat.T).astype(np.int64)
                     na = x_sizes[lo:hi][:, None]
-                    union = y_sizes[None, :] + na - cnt
-                    ppm = (cnt * 1_000_000) // np.maximum(union, 1)
+                    if metric == "containment":
+                        denom = np.minimum(np.broadcast_to(na, cnt.shape),
+                                           np.broadcast_to(y_sizes[None, :], cnt.shape))
+                    else:
+                        denom = y_sizes[None, :] + na - cnt
+                    ppm = (cnt * 1_000_000) // np.maximum(denom, 1)
                     keep = ppm >= min_ppm
                     if same:
                         keep &= ydocs[None, :] > xdocs[lo:hi, None]

@@ -146,6 +146,84 @@ WHERE (c * 1000000) // (sa.n + sb.n - c) >= 500000
 """
 
 
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-containment near-SUBSET pairs: c / min(|A|, |B|) >= 0.9 over
+    char-8-gram sets — catches a small file pasted inside a larger one,
+    which Jaccard misses (J = |small| / |big| can be arbitrarily low).
+    Same distributed blocked sweep as dedup_ngram_jaccard, different
+    denominator; exact integer math vs the all-pairs oracle."""
+    from codedup.operators import blocked_jaccard_join_text
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        blocked_jaccard_join_text(docs, "doc_id", "text", NGRAM_K, 0.9,
+                                  metric="containment")
+        .withColumn("containment_ppm", F.expr("(c * 1000000) div least(na, nb)"))
+        .filter(F.col("containment_ppm") >= 900_000)
+        .select("a", "b", "containment_ppm")
+    )
+
+
+SQL_DEDUP_CONTAINMENT = f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, substr(text, i, {NGRAM_K}) AS g
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(1, greatest(length(text)-{NGRAM_K - 1}, 1))) AS i) t
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+), inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+  FROM sh x JOIN sh y USING (g)
+  WHERE x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT a, b, (c * 1000000) // least(sa.n, sb.n) AS containment_ppm
+FROM inter
+JOIN sizes sa ON sa.doc_id = a
+JOIN sizes sb ON sb.doc_id = b
+WHERE (c * 1000000) // least(sa.n, sb.n) >= 900000
+"""
+
+
+def q_doc_rarest_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document rarest terms (the integer-safe inverse-document-
+    frequency ranking): global df per token, then each doc's 3 rarest
+    tokens by (df asc, token asc), comma-joined.  The distinctive-term
+    extractor of a training-data pipeline without float tf-idf — the
+    ordering is exactly what idf induces, in pure integer/string sort
+    (cross-engine hash-safe)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.expr(_TOKENS)).alias("tok")).distinct()
+    df_t = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("tok"))
+    ranked = toks.join(df_t, "tok").withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.filter(F.col("rn") <= 3)
+        .groupBy("doc_id")
+        .agg(F.concat_ws(",", F.sort_array(
+            F.collect_list(F.struct("rn", "tok"))).getField("tok")).alias("rarest_terms"))
+    )
+
+
+SQL_DOC_RAREST_TERMS = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS tok
+  FROM documents
+), dfs AS (
+  SELECT tok, count(*) AS df FROM toks GROUP BY 1
+), ranked AS (
+  SELECT doc_id, tok,
+         row_number() OVER (PARTITION BY doc_id ORDER BY df ASC, tok ASC) AS rn
+  FROM toks JOIN dfs USING (tok)
+)
+SELECT doc_id,
+       array_to_string(list(tok ORDER BY rn), ',') AS rarest_terms
+FROM ranked
+WHERE rn <= 3
+GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # documents: MinHash-LSH dedup (the engine's own pipeline, K2/J3/K10)
 # ---------------------------------------------------------------------------
@@ -1332,6 +1410,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": q_doc_fingerprint,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_containment": q_dedup_containment,
+    "doc_rarest_terms": q_doc_rarest_terms,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_minhash_lsh_tokens": q_dedup_minhash_lsh_tokens,
     "text_stats": q_text_stats,
@@ -1363,6 +1443,8 @@ ORACLES: dict[str, str] = {
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
+    "dedup_containment": SQL_DEDUP_CONTAINMENT,
+    "doc_rarest_terms": SQL_DOC_RAREST_TERMS,
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
     "dedup_minhash_lsh_tokens": SQL_DEDUP_MINHASH_LSH_TOKENS,
     "text_stats": SQL_TEXT_STATS,

@@ -101,3 +101,30 @@ def test_category_rules_cover_trash_branches(spark, tmp_path):
     want = {int(r.doc_id): (r.category, r.subcategory)
             for r in _oracle(d, SQL_DOC_CATEGORY_RULES).itertuples(index=False)}
     assert got == want
+
+
+def test_containment_catches_subsets_jaccard_misses(spark, tmp_path):
+    """A small file pasted inside a much larger one: containment = 1.0
+    but Jaccard = |small|/|big| is far below any dedup threshold — the
+    containment query must surface the pair, the jaccard query must
+    not, and both must match their oracles on this planted corpus."""
+    from codedup.queries import (
+        ORACLES, q_dedup_containment, q_dedup_ngram_jaccard,
+    )
+
+    small = "def helper():\n    return compute(1, 2, 3)\n"
+    big = small + "\n".join(f"def f{i}(): return {i} * unique_{i}" for i in range(60))
+    rows = [(0, "py", small), (1, "py", big), (2, "py", "totally different text here")]
+    d = str(tmp_path)
+    spark.createDataFrame(rows, "doc_id long, lang string, text string") \
+        .coalesce(1).write.mode("overwrite").parquet(d + "/documents.parquet")
+
+    cont = {(r["a"], r["b"]): r["containment_ppm"]
+            for r in q_dedup_containment(spark, d).collect()}
+    assert (0, 1) in cont and cont[(0, 1)] == 1_000_000
+    jacc = {(r["a"], r["b"]) for r in q_dedup_ngram_jaccard(spark, d).collect()}
+    assert (0, 1) not in jacc  # Jaccard blind to the subset pair
+
+    want = {(int(r.a), int(r.b)): int(r.containment_ppm)
+            for r in _oracle(d, ORACLES["dedup_containment"]).itertuples(index=False)}
+    assert cont == want
