@@ -413,6 +413,99 @@ FROM toks
 """
 
 
+# BPE-ish pre-tokenizer: GPT-2-style contractions / letter runs /
+# digit runs / punctuation runs / whitespace, WITHOUT the lookahead
+# (RE2 in DuckDB has no lookahead; Java and RE2 agree on this subset).
+# The SQL-literal form differs per engine: Spark SQL string literals
+# process backslash escapes (regex \s must be written \\s), DuckDB's do
+# not (\s stays \s); apostrophes double in both.
+_BPE_CORE = "'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9{WS}]+|{WS}+"
+_BPE_SPARK_LIT = _BPE_CORE.format(WS="\\\\s").replace("'", "''")
+_BPE_DUCK_LIT = _BPE_CORE.format(WS="\\s").replace("'", "''")
+
+
+def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting with a BPE-ish regex pre-tokenizer (the
+    training-data pipeline's token-budget estimator): counts of GPT-2
+    style pre-tokens (contractions, letter runs, digit runs,
+    punctuation runs; whitespace runs excluded from the count) and the
+    distinct-token count.  Pure codegen regexp_extract_all."""
+    toks = f"filter(regexp_extract_all(text, '{_BPE_SPARK_LIT}', 0), x -> trim(x) != '')"
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(f"size({toks})").cast("long").alias("n_bpe_tokens"),
+        F.expr(f"size(array_distinct({toks}))").cast("long").alias("n_distinct_bpe_tokens"),
+    )
+
+
+SQL_BPE_TOKEN_STATS = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_extract_all(text, '{_BPE_DUCK_LIT}'), x -> trim(x) <> '') AS tk
+  FROM documents
+)
+SELECT doc_id,
+       len(tk)::BIGINT AS n_bpe_tokens,
+       len(list_distinct(tk))::BIGINT AS n_distinct_bpe_tokens
+FROM toks
+"""
+
+
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization over the events table (the batch view of the
+    stateful-streaming operator): per user, a new session starts when
+    the gap to the previous event exceeds 30 minutes — lag + cumulative
+    sum of session starts, the canonical Spark windowing composition.
+    Output is integer-only (counts), cross-engine exact."""
+    e = _t(spark, sf_dir, "events")
+    w_u = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gapped = e.select(
+        "user_id", "ts", "event_id",
+        # TIMESTAMP_NTZ has no direct long cast under ANSI;
+        # unix_timestamp uses the session tz (pinned UTC in
+        # build_session) == DuckDB's epoch() on naive timestamps
+        F.when(
+            (F.unix_timestamp("ts")
+             - F.lag(F.unix_timestamp("ts")).over(w_u)) > 1800, 1
+        ).otherwise(0).alias("new_session"),
+    )
+    sess = gapped.withColumn(
+        "session_idx",
+        F.sum("new_session").over(
+            w_u.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    per_session = sess.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"))
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.max("n_events").alias("longest_session_events"),
+        F.sum("n_events").alias("n_events"),
+    )
+
+
+SQL_USER_SESSIONS = """
+WITH gapped AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM gapped
+), per_session AS (
+  SELECT user_id, session_idx, count(*) AS n_events
+  FROM sess GROUP BY 1, 2
+)
+SELECT user_id,
+       count(*) AS n_sessions,
+       max(n_events) AS longest_session_events,
+       sum(n_events)::BIGINT AS n_events
+FROM per_session GROUP BY 1
+"""
+
+
 def q_token_count_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4/A9 analog: corpus-level token accounting per lang partition."""
     return (
@@ -1415,6 +1508,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_minhash_lsh_tokens": q_dedup_minhash_lsh_tokens,
     "text_stats": q_text_stats,
+    "bpe_token_stats": q_bpe_token_stats,
+    "user_sessions": q_user_sessions,
     "token_count_by_lang": q_token_count_by_lang,
     "simhash_tokens": q_simhash_tokens,
     "lang_id_heuristic": q_lang_id_heuristic,
@@ -1448,6 +1543,8 @@ ORACLES: dict[str, str] = {
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
     "dedup_minhash_lsh_tokens": SQL_DEDUP_MINHASH_LSH_TOKENS,
     "text_stats": SQL_TEXT_STATS,
+    "bpe_token_stats": SQL_BPE_TOKEN_STATS,
+    "user_sessions": SQL_USER_SESSIONS,
     "token_count_by_lang": SQL_TOKEN_COUNT_BY_LANG,
     "simhash_tokens": SQL_SIMHASH_TOKENS,
     "lang_id_heuristic": SQL_LANG_ID_HEURISTIC,
