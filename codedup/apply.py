@@ -61,13 +61,25 @@ def plan_moves(actions: DataFrame, dest_root: str,
     in the destination; they keep their names, movers probe around
     them.
 
-    Scale bound: ordinal assignment is a window per (stem, suffix), so
-    one pathologically hot basename (think __init__.py at 10^12 files)
+    Conflict semantics: names are grouped into FAMILIES — stem with any
+    trailing _<digits> stripped, plus suffix — because stem_N probing
+    makes 'a.py' and 'a_1.py' share one namespace (a per-stem plan
+    produced cross-stem collisions; caught by the randomized property
+    test).  Within a family: (1) the first mover (iteration order:
+    cluster asc, rank asc, file_id) holding each distinct original
+    basename KEEPS it when no existing file does — original-name
+    priority, a deliberate deviation from the reference's strictly
+    sequential probing, which can steal a later file's own name;
+    (2) everyone else takes the family's free candidate sequence
+    base.sfx, base_1.sfx, base_2.sfx, ... skipping existing and claimed
+    names, in iteration order.  Deterministic, collision-free, linear
+    candidates (never quadratic).
+
+    Scale bound: assignment windows are per family, so one
+    pathologically hot basename (think __init__.py at 10^12 files)
     serializes its movers into one sort task — fine to ~10^7 movers per
     name; beyond that, salt the window and offset each salt group by
-    the exclusive prefix sum of group counts (same order, parallel
-    sort).  Candidate probing is already linear: m+e+1 names per
-    (stem, suffix), never quadratic."""
+    the exclusive prefix sum of group counts."""
     spark = actions.sparkSession
     movers = (
         actions.filter(F.col("action").isin(*MOVE_ACTIONS))
@@ -75,46 +87,66 @@ def plan_moves(actions: DataFrame, dest_root: str,
         .withColumn("src_name",
                     F.element_at(F.split(F.regexp_extract("key", r"^(.*)@[^@]*$", 1), "/"), -1))
     )
-    movers = _with_name_parts(movers, "src_name")
+    movers = _with_name_parts(movers, "src_name").withColumn(
+        "fam", F.regexp_replace("stem", "_[0-9]+$", ""))
 
     exist = (existing if existing is not None
              else spark.createDataFrame([], "name string"))
-    exist_parts = _with_name_parts(exist, "name")
-    exist_cnt = exist_parts.groupBy("stem", "suffix").agg(
+    exist_names = exist.select(F.col("name"))
+    exist_parts = _with_name_parts(exist_names, "name").withColumn(
+        "fam", F.regexp_replace("stem", "_[0-9]+$", ""))
+    exist_cnt = exist_parts.groupBy("fam", "suffix").agg(
         F.count(F.lit(1)).alias("e_cnt"))
 
-    m_cnt = movers.groupBy("stem", "suffix").agg(F.count(F.lit(1)).alias("m_cnt"))
-    bounds = m_cnt.join(exist_cnt, ["stem", "suffix"], "left").fillna(0, ["e_cnt"])
+    # (1) original-name claims: first mover per distinct src_name, name
+    # not already present at the destination
+    claim_w = Window.partitionBy("src_name").orderBy("cluster_id", "rank", "file_id")
+    with_claim = movers.withColumn("_claim_rn", F.row_number().over(claim_w)) \
+        .join(exist_names.withColumnRenamed("name", "src_name")
+              .withColumn("_taken", F.lit(True)), "src_name", "left")
+    claimants = with_claim.filter((F.col("_claim_rn") == 1) & F.col("_taken").isNull())
+    rest = with_claim.join(claimants.select("file_id"), "file_id", "left_anti")
 
-    # candidate names 0..m+e per (stem, suffix): index 0 is the plain
-    # name, i>0 is stem_i.suffix; removing the <= e existing collisions
-    # leaves >= m free slots
+    claimed_names = claimants.select(F.col("src_name").alias("blocked"))
+    blocked = claimed_names.unionByName(
+        exist_names.select(F.col("name").alias("blocked"))).distinct()
+
+    # (2) family candidate sequence minus blocked names -> free slots
+    m_cnt = movers.groupBy("fam", "suffix").agg(F.count(F.lit(1)).alias("m_cnt"))
+    bounds = m_cnt.join(exist_cnt, ["fam", "suffix"], "left").fillna(0, ["e_cnt"])
     cands = (
-        bounds.withColumn("i", F.explode(F.sequence(F.lit(0), F.col("m_cnt") + F.col("e_cnt"))))
+        bounds.withColumn(
+            "i", F.explode(F.sequence(F.lit(0), F.col("m_cnt") * 2 + F.col("e_cnt"))))
         .withColumn(
             "cand_name",
-            F.when(F.col("i") == 0, F.concat("stem", "suffix"))
-            .otherwise(F.concat("stem", F.lit("_"), F.col("i").cast("string"), "suffix")),
+            F.when(F.col("i") == 0, F.concat("fam", "suffix"))
+            .otherwise(F.concat("fam", F.lit("_"), F.col("i").cast("string"), "suffix")),
         )
     )
-    free = cands.join(exist.select(F.col("name").alias("cand_name")),
+    free = cands.join(blocked.withColumnRenamed("blocked", "cand_name"),
                       "cand_name", "left_anti")
-    slot_w = Window.partitionBy("stem", "suffix").orderBy("i")
+    slot_w = Window.partitionBy("fam", "suffix").orderBy("i")
     free_slots = free.withColumn("slot", F.row_number().over(slot_w) - 1) \
-        .select("stem", "suffix", "slot", "cand_name")
+        .select("fam", "suffix", "slot", "cand_name")
 
-    # mover ordinal = reference iteration order: clusters ascending,
-    # within a cluster rank ascending (size desc), file_id tiebreak
-    ord_w = Window.partitionBy("stem", "suffix").orderBy("cluster_id", "rank", "file_id")
-    ordered = movers.withColumn("ordinal", F.row_number().over(ord_w) - 1)
+    ord_w = Window.partitionBy("fam", "suffix").orderBy("cluster_id", "rank", "file_id")
+    ordered = rest.withColumn("ordinal", F.row_number().over(ord_w) - 1)
 
-    return (
+    assigned = (
         ordered.join(free_slots,
-                     (ordered["stem"] == free_slots["stem"])
+                     (ordered["fam"] == free_slots["fam"])
                      & (ordered["suffix"] == free_slots["suffix"])
                      & (ordered["ordinal"] == free_slots["slot"]))
         .select("file_id", "key", "cluster_id", "rank", "action", "src_name",
-                F.concat(F.lit(dest_root.rstrip("/") + "/"), "cand_name").alias("dest_path"))
+                F.col("cand_name").alias("dest_name"))
+    )
+    kept = claimants.select("file_id", "key", "cluster_id", "rank", "action",
+                            "src_name", F.col("src_name").alias("dest_name"))
+    return (
+        assigned.unionByName(kept)
+        .withColumn("dest_path",
+                    F.concat(F.lit(dest_root.rstrip("/") + "/"), "dest_name"))
+        .drop("dest_name")
     )
 
 

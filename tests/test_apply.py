@@ -84,3 +84,37 @@ def test_e2e_pipeline_actions_apply(spark, run_tiny, tmp_path):
     moved = after.filter(F.col("path").startswith("/quarantine/")).count()
     assert moved == n_movers
     assert after.count() == run_tiny.fingerprints.count()
+
+
+def test_plan_moves_properties_random(spark):
+    """Property sweep without hypothesis-Spark overhead: random mover
+    sets + random existing names must always yield (a) unique
+    destinations, (b) no destination colliding with an existing name,
+    (c) every mover assigned exactly once."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    basenames = ["a.py", "a_1.py", "a_2.py", "b", "b_1", "c.tar.gz", "README", "x.py"]
+    for trial in range(8):
+        movers = []
+        fid = 0
+        for b in basenames:
+            for _ in range(int(rng.integers(0, 4))):
+                fid += 1
+                movers.append((fid, f"r/d{fid}/{b}@c", int(rng.integers(1, 4)) * 10,
+                               int(rng.integers(2, 5)), "dedup"))
+        if not movers:
+            continue
+        existing_names = list(rng.choice(
+            ["a.py", "a_1.py", "a_2.py", "b", "b_1", "c.tar.gz", "zzz"],
+            size=int(rng.integers(0, 5)), replace=False))
+        acts = spark.createDataFrame(
+            movers, "file_id long, key string, cluster_id long, rank int, action string")
+        existing = (spark.createDataFrame([(n,) for n in existing_names], "name string")
+                    if existing_names else None)
+        got = plan_moves(acts, "/d", existing=existing).collect()
+        dests = [r["dest_path"] for r in got]
+        assert len(got) == len(movers), (trial, existing_names)
+        assert len(set(dests)) == len(dests), (trial, dests)
+        taken = {f"/d/{n}" for n in existing_names}
+        assert not (set(dests) & taken), (trial, dests, existing_names)
