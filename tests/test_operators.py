@@ -66,3 +66,24 @@ def test_joins_agree_with_each_other(spark, random_sets):
     ka = set(zip(a.a, a.b, a.c, a.na, a.nb))
     kb = set(zip(b.a, b.b, b.c, b.na, b.nb))
     assert ka == kb
+
+
+def test_blocked_containment_exact(spark, random_sets):
+    """metric='containment' must match brute force c/min(|A|,|B|)."""
+    t = 0.7
+
+    def brute():
+        out = set()
+        ids = sorted(random_sets)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                inter = len(random_sets[a] & random_sets[b])
+                m = min(len(random_sets[a]), len(random_sets[b]))
+                if m and (inter * 1_000_000) // m >= 700_000:
+                    out.add((a, b, inter))
+        return out
+
+    sh = _to_df(spark, random_sets)
+    got = blocked_jaccard_join(sh, t, n_blocks=4, metric="containment").toPandas()
+    got = got[(got.c * 1_000_000) // got[["na", "nb"]].min(axis=1) >= 700_000]
+    assert set(zip(got.a, got.b, got.c)) == brute()
