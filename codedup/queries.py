@@ -969,6 +969,67 @@ def q_doc_minhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WINNOW_W = 4  # winnowing window: guarantee = matches of length k+W-1 detected
+
+
+def q_doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every POSITIONAL char k-gram
+    (duplicates kept, unlike the set-based queries), slide a window of
+    W consecutive hashes, keep each window's minimum; the distinct
+    minima are the document's fingerprints.  Guarantees any shared
+    substring of length >= k+W-1 yields a shared fingerprint, with
+    ~2/(W+1) selectivity.  Fully relational: posexplode + a
+    rows-between window min + distinct — no UDF; the portable md5-60bit
+    hash makes the oracle exact."""
+    docs = _t(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.length("text").alias("_len"),
+        F.posexplode(
+            F.expr(f"transform(sequence(1, greatest(length(text)-{NGRAM_K - 1}, 1)),"
+                   f" i -> substring(text, i, {NGRAM_K}))")
+        ).alias("pos", "g"),
+    ).withColumn("hv", F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("long"))
+    n_grams = F.greatest(F.col("_len") - F.lit(NGRAM_K - 1), F.lit(1))
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, WINNOW_W - 1)
+    wind = grams.withColumn("fp", F.min("hv").over(w)).filter(
+        # complete windows only; a doc shorter than W grams keeps its
+        # single all-grams window (pos 0)
+        (F.col("pos") <= n_grams - WINNOW_W) | (F.col("pos") == 0)
+    )
+    return (
+        wind.select("doc_id", "fp").distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_fingerprints"),
+             F.min("fp").alias("fp_min"),
+             F.max("fp").alias("fp_max"))
+    )
+
+
+SQL_DOC_WINNOWING = f"""
+WITH grams AS (
+  SELECT doc_id,
+         greatest(length(text) - {NGRAM_K - 1}, 1) AS n_grams,
+         i - 1 AS pos,
+         ('0x' || substr(md5(substr(text, i, {NGRAM_K})), 1, 15))::BIGINT AS hv
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(1, greatest(length(text)-{NGRAM_K - 1}, 1))) AS i) t
+), wind AS (
+  SELECT doc_id, pos, n_grams,
+         min(hv) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS fp
+  FROM grams
+), fps AS (
+  SELECT DISTINCT doc_id, fp
+  FROM wind
+  WHERE pos <= n_grams - {WINNOW_W} OR pos = 0
+)
+SELECT doc_id, count(*) AS n_fingerprints, min(fp) AS fp_min, max(fp) AS fp_max
+FROM fps GROUP BY 1
+"""
+
+
 SQL_DOC_MINHASH_FINGERPRINT = f"""
 WITH grams AS (
   SELECT DISTINCT doc_id, substr(text, i, {NGRAM_K}) AS g
@@ -1514,6 +1575,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_tokens": q_simhash_tokens,
     "lang_id_heuristic": q_lang_id_heuristic,
     "doc_minhash_fingerprint": q_doc_minhash_fingerprint,
+    "doc_winnowing": q_doc_winnowing,
     "dedup_clusters": q_dedup_clusters,
     "cluster_savings": q_cluster_savings,
     "ann_topk_cosine": q_ann_topk_cosine,
@@ -1549,6 +1611,7 @@ ORACLES: dict[str, str] = {
     "simhash_tokens": SQL_SIMHASH_TOKENS,
     "lang_id_heuristic": SQL_LANG_ID_HEURISTIC,
     "doc_minhash_fingerprint": SQL_DOC_MINHASH_FINGERPRINT,
+    "doc_winnowing": SQL_DOC_WINNOWING,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "cluster_savings": SQL_CLUSTER_SAVINGS,
     "ann_topk_cosine": SQL_ANN_TOPK_COSINE,

@@ -128,3 +128,50 @@ def test_containment_catches_subsets_jaccard_misses(spark, tmp_path):
     want = {(int(r.a), int(r.b)): int(r.containment_ppm)
             for r in _oracle(d, ORACLES["dedup_containment"]).itertuples(index=False)}
     assert cont == want
+
+
+def test_winnowing_guarantee(spark, tmp_path):
+    """Winnowing's detection guarantee: two documents sharing a
+    substring of length >= k + W - 1 (= 11 at k=8, W=4) MUST share at
+    least one fingerprint; and the query matches its oracle on a
+    corpus with dupes of grams (positional hashing, not set-based)."""
+    from codedup.queries import ORACLES, WINNOW_W, q_doc_winnowing
+
+    shared = "the_shared_block_of_text_42"        # len 27 >= 11
+    rows = [
+        (0, "en", "aaaa " + shared + " bbbb"),
+        (1, "en", "cccc dddd " + shared),
+        (2, "en", "nothing in common here at all"),
+        (3, "en", "xy xy xy xy xy xy xy xy"),     # repeated grams
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(rows, "doc_id long, lang string, text string") \
+        .coalesce(1).write.mode("overwrite").parquet(d + "/documents.parquet")
+
+    # guarantee: recompute the fingerprint SETS via the same query
+    # machinery but grouped differently — join docs 0 and 1 on fp
+    from pyspark.sql import functions as F
+    from codedup.queries import NGRAM_K
+    docs = spark.read.parquet(d + "/documents.parquet")
+    grams = docs.select(
+        "doc_id", F.length("text").alias("_len"),
+        F.posexplode(F.expr(
+            f"transform(sequence(1, greatest(length(text)-{NGRAM_K-1}, 1)),"
+            f" i -> substring(text, i, {NGRAM_K}))")).alias("pos", "g"),
+    ).withColumn("hv", F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("long"))
+    from pyspark.sql import Window
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, WINNOW_W - 1)
+    n_grams = F.greatest(F.col("_len") - F.lit(NGRAM_K - 1), F.lit(1))
+    fps = grams.withColumn("fp", F.min("hv").over(w)) \
+        .filter((F.col("pos") <= n_grams - WINNOW_W) | (F.col("pos") == 0)) \
+        .select("doc_id", "fp").distinct()
+    f0 = {r["fp"] for r in fps.filter("doc_id = 0").collect()}
+    f1 = {r["fp"] for r in fps.filter("doc_id = 1").collect()}
+    f2 = {r["fp"] for r in fps.filter("doc_id = 2").collect()}
+    assert f0 & f1, "shared 27-char substring must share a fingerprint"
+    assert not (f0 & f2)
+
+    got = {tuple(r) for r in q_doc_winnowing(spark, d).collect()}
+    want = {tuple(int(x) for x in r)
+            for r in _oracle(d, ORACLES["doc_winnowing"]).itertuples(index=False)}
+    assert got == want
