@@ -143,6 +143,8 @@ def test_winnowing_guarantee(spark, tmp_path):
         (1, "en", "cccc dddd " + shared),
         (2, "en", "nothing in common here at all"),
         (3, "en", "xy xy xy xy xy xy xy xy"),     # repeated grams
+        (4, "en", "hi"),                             # shorter than k: 1 gram < W
+        (5, "en", "abcdefghij"),                     # 3 grams < W: single window
     ]
     d = str(tmp_path)
     spark.createDataFrame(rows, "doc_id long, lang string, text string") \
