@@ -150,15 +150,24 @@ class IncrementalDedup:
         with overwrite — a partial retry rewrites the same paths
         instead of appending duplicates;
       * a commit marker ``_committed/N`` is written LAST; a re-entered
-        batch whose marker exists returns immediately.
+        batch whose marker exists returns immediately;
+      * a re-entered batch whose marker does NOT exist first deletes any
+        ``batch_id=N`` staging dirs left by the crashed attempt — else
+        the retry would read its own half-written output as history and
+        anti-join the whole batch away (ADVICE r2 high: silent loss in
+        the partial-commit window).
 
     ``compact()`` folds the accumulated per-batch directories into one
     snapshot per table so per-batch history reads stay bounded (state
-    growth finding, VERDICT r1 #9)."""
+    growth finding, VERDICT r1 #9).  With ``compact_every=k`` it runs
+    automatically inside the commit path after every k-th committed
+    batch (VERDICT r2 #8)."""
 
-    def __init__(self, spark: SparkSession, work_dir: str, cfg: DedupConfig | None = None):
+    def __init__(self, spark: SparkSession, work_dir: str, cfg: DedupConfig | None = None,
+                 compact_every: int | None = 8):
         self.spark = spark
         self.cfg = cfg or DedupConfig()
+        self.compact_every = compact_every
         self.root = os.path.join(work_dir, "stream")
         self.sig_dir = os.path.join(self.root, "signatures")
         self.bands_dir = os.path.join(self.root, "bands")
@@ -187,6 +196,25 @@ class IncrementalDedup:
         os.makedirs(self.marker_dir, exist_ok=True)
         with open(os.path.join(self.marker_dir, str(batch_id)), "w") as f:
             f.write("ok")
+
+    def _n_committed(self) -> int:
+        if not os.path.isdir(self.marker_dir):
+            return 0
+        return sum(1 for e in os.listdir(self.marker_dir) if not e.startswith("."))
+
+    def _clear_staged(self, batch_id: int) -> None:
+        """Delete UNCOMMITTED batch_id=N staging dirs before reading any
+        state.  process_batch only reaches here when the marker is
+        absent, so a present staging dir is a crashed prior attempt of
+        this same batch — leaving it would make the retry see its own
+        rows as history, anti-join them away, and overwrite the staged
+        dirs with empty data (permanent silent loss)."""
+        import shutil
+
+        for d in self._tables:
+            staged = os.path.join(d, f"batch_id={batch_id}")
+            if os.path.isdir(staged):
+                shutil.rmtree(staged)
 
     def compact(self) -> dict:
         """Fold per-batch directories into one snapshot per table;
@@ -228,6 +256,7 @@ class IncrementalDedup:
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
         if self._is_committed(batch_id):
             return  # at-least-once replay of a committed batch: no-op
+        self._clear_staged(batch_id)  # purge any crashed partial attempt
         cfg = self.cfg
         fp = fingerprint(batch).localCheckpoint(eager=True)
         reps = representatives(fp)
@@ -282,6 +311,8 @@ class IncrementalDedup:
         self._stage_write(new_reps.select("file_id", "content", "sha256"),
                           self.content_dir, batch_id)
         self._mark_committed(batch_id)
+        if self.compact_every and self._n_committed() % self.compact_every == 0:
+            self.compact()
 
     def start(self, source_dir: str, checkpoint_dir: str | None = None,
               trigger_once: bool = True):

@@ -118,6 +118,54 @@ def test_replay_of_committed_batch_is_noop(spark, drops, cfg, tmp_path):
     assert inc.signatures().count() == sigs1
 
 
+def test_replay_of_uncommitted_batch_recovers(spark, drops, cfg, tmp_path):
+    """ADVICE r2 high: a crash AFTER staging but BEFORE the commit
+    marker must not lose the batch on retry.  Simulated by running the
+    batch fully, deleting the marker (= crash in the partial-commit
+    window), and re-delivering: without the staged-dir purge the retry
+    reads its own staged rows as history, anti-joins the batch away and
+    overwrites the staging dirs with empty data."""
+    inc = IncrementalDedup(spark, str(tmp_path / "w"), cfg)
+    b0 = spark.read.parquet(drops["paths"][0])
+    inc.process_batch(b0, 0)
+    pairs1 = inc.pairs().toPandas().sort_values(["a", "b"], ignore_index=True)
+    sigs1 = inc.signatures().toPandas().sort_values("file_id", ignore_index=True)
+    assert len(sigs1) > 0
+
+    os.remove(os.path.join(inc.marker_dir, "0"))  # crash window
+    inc.process_batch(b0, 0)  # at-least-once retry
+
+    sigs2 = inc.signatures().toPandas().sort_values("file_id", ignore_index=True)
+    pairs2 = inc.pairs().toPandas().sort_values(["a", "b"], ignore_index=True)
+    assert sigs2[["file_id", "simhash"]].equals(sigs1[["file_id", "simhash"]]), \
+        "retry of an uncommitted batch dropped its signatures"
+    assert pairs2.equals(pairs1)
+    assert inc._is_committed(0)
+
+    # and a subsequent batch still dedupes against the recovered history
+    inc.process_batch(spark.read.parquet(drops["paths"][1]), 1)
+    assert inc.signatures().count() > len(sigs1)
+
+
+def test_auto_compaction_in_commit_path(spark, drops, cfg, tmp_path):
+    """compact_every=2 must fold state inside foreachBatch commit after
+    every 2nd committed batch, with pairs/signatures unchanged."""
+    inc = IncrementalDedup(spark, str(tmp_path / "w"), cfg, compact_every=2)
+    baseline = IncrementalDedup(spark, str(tmp_path / "b"), cfg, compact_every=None)
+    for i, p in enumerate(drops["paths"]):
+        b = spark.read.parquet(p)
+        inc.process_batch(b, i)
+        baseline.process_batch(b, i)
+    # 3 batches, compact after batch idx 1 (2 committed): dirs 0,1 folded
+    # into batch_id=-1; batch 2 staged on top
+    subdirs = sorted(e for e in os.listdir(inc.sig_dir) if e.startswith("batch_id="))
+    assert subdirs == ["batch_id=-1", "batch_id=2"], subdirs
+    got = inc.pairs().toPandas().sort_values(["a", "b"], ignore_index=True)
+    want = baseline.pairs().toPandas().sort_values(["a", "b"], ignore_index=True)
+    assert got.equals(want)
+    assert inc.signatures().count() == baseline.signatures().count()
+
+
 def test_compaction_preserves_state_and_shrinks_files(spark, drops, cfg, tmp_path):
     inc = IncrementalDedup(spark, str(tmp_path / "w"), cfg)
     for i, p in enumerate(drops["paths"]):
