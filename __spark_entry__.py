@@ -5,12 +5,16 @@ The driver's verify runs ``entry(spark)`` as a smoke check, runs each
 ``oracle_sql()[name]`` via DuckDB (row-count + schema + order-
 insensitive value-hash -> CORRECTNESS_r{N}.json).
 
-Two queries deliberately have NO oracle entry (the driver records its
-weaker rows-only check for them): ``feedback_model_predictions``
-(Spark-ML logistic regression) and ``ann_ivf_topk`` (Spark-ML KMeans)
-— iterative optimizers DuckDB cannot replicate; both are pinned by
-dedicated tests instead (tests/test_feedback.py, tests/test_ann_ivf.py
-— the IVF one proves recall >= 0.8 vs the exact brute-force query).
+One query deliberately has NO oracle entry (the driver records its
+weaker rows-only check for it): ``feedback_model_predictions`` —
+Spark-ML logistic regression, an iterative optimizer DuckDB cannot
+replicate; it is pinned by tests/test_feedback.py instead.
+``ann_ivf_topk`` is oracle-exact since r3: the KMeans training half
+runs offline (tools/make_ivf_centroids.py pins the centroids as a
+golden that tests/test_ann_ivf.py proves reproducible), and the search
+half — assignment + nprobe + cosine rank over the pinned centroid
+literals — is deterministic SQL on both engines, with recall >= 0.8 vs
+brute force still gated in tests/test_ann_ivf.py.
 
 Implementations live in the ``codedup`` package (see SURVEY.md §2 for
 the operator mapping and codedup/queries.py for per-query docs).

@@ -55,6 +55,33 @@ def test_ivf_plans_hash_join(spark, ivf):
                ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin"))
 
 
+def test_golden_centroids_reproduce(ivf):
+    """The committed quantizer golden (fixtures/golden/ivf_centroids
+    .json) must be exactly what KMeans(seed=42, k=16) trains at sf0.01
+    — ties the offline training half to the oracle-checked search half
+    (tools/make_ivf_centroids.py regenerates on intended change)."""
+    from codedup.ann import golden_centroids
+
+    trained = [[round(float(x), 6) for x in c] for c in ivf["centroids"]]
+    assert trained == golden_centroids()
+
+
+def test_relational_ivf_recall_vs_brute_force(spark, ivf):
+    """The oracle-checked catalog query (pinned centroids + relational
+    assignment/search) must keep the same recall gate as the numpy
+    path."""
+    from codedup.ann import golden_centroids, ivf_topk_relational
+    from codedup.queries import q_ann_topk_cosine
+
+    got = ivf_topk_relational(ivf["emb"], golden_centroids(),
+                              probe_mod=50, k=5, nprobe=6)
+    got_pairs = {(r["query_id"], r["neighbor_id"]) for r in got.collect()}
+    want_pairs = {(r["query_id"], r["neighbor_id"])
+                  for r in q_ann_topk_cosine(spark, SF).collect()}
+    recall = len(got_pairs & want_pairs) / len(want_pairs)
+    assert recall >= 0.8, f"relational IVF recall@5 {recall:.3f}"
+
+
 def test_ivf_index_deterministic(spark, ivf):
     emb = ivf["emb"]
     a2, c2 = build_ivf(emb, n_cells=16, seed=42)
