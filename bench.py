@@ -47,6 +47,18 @@ def run_headline() -> None:
                           shuffle_partitions=max(int(cpus), 8))
     spark.sparkContext.setLogLevel("ERROR")
 
+    # untimed warmup at the tiny tier (VERDICT r2 #1 'what's wrong'):
+    # first-query numbers otherwise absorb one-time JVM codegen, Arrow
+    # python-worker fork and BLAS thread-pool init, so whichever catalog
+    # query runs first looks regressed round-over-round.  doc_fingerprint
+    # warms scan+codegen; ann_topk_cosine warms the Arrow+numpy path.
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir):
+        t0 = time.time()
+        QUERIES["doc_fingerprint"](spark, warm_dir).count()
+        QUERIES["ann_topk_cosine"](spark, warm_dir).count()
+        print(f"# warmup (untimed): {time.time() - t0:.2f}s", file=sys.stderr)
+
     timings: dict[str, float] = {}
     total = 0.0
     for name in headline_names():
