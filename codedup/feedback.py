@@ -152,6 +152,27 @@ class PreferenceModel:
             "train_accuracy": round(acc, 3),
         }
 
+    def save(self, path: str) -> None:
+        """Persist scaler + LR via Spark ML native persistence — the
+        twin of the reference's model pickle
+        (/root/reference/src/image_dedup/feedback.py:290-305); a saved
+        model reloads into a fresh process and predicts identically
+        (round-trip pinned in tests/test_feedback.py)."""
+        if self.model is None:
+            raise ValueError("no trained model to save")
+        self.scaler.write().overwrite().save(os.path.join(path, "scaler"))
+        self.model.write().overwrite().save(os.path.join(path, "lr"))
+
+    @classmethod
+    def load(cls, path: str) -> "PreferenceModel":
+        from pyspark.ml.classification import LogisticRegressionModel
+        from pyspark.ml.feature import StandardScalerModel
+
+        m = cls()
+        m.scaler = StandardScalerModel.load(os.path.join(path, "scaler"))
+        m.model = LogisticRegressionModel.load(os.path.join(path, "lr"))
+        return m
+
     def predict(self, emb: DataFrame, id_col: str = "key",
                 emb_col: str = "embedding") -> DataFrame:
         """-> (id_col, keep_prob double, decision string) with the

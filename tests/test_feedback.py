@@ -76,6 +76,28 @@ def test_train_and_threshold_predictions(spark, separable):
     assert got2 == got
 
 
+def test_save_load_round_trip(spark, separable, tmp_path):
+    """Spark ML native persistence (reference feedback.py:290-305 twin):
+    train -> save -> load into a FRESH object -> keep_prob identical to
+    the original model on a fixed split."""
+    m = PreferenceModel()
+    assert m.train(separable)["success"]
+    with pytest.raises(ValueError):
+        PreferenceModel().save(str(tmp_path / "nope"))
+    m.save(str(tmp_path / "model"))
+
+    m2 = PreferenceModel.load(str(tmp_path / "model"))
+    probe = separable.filter(F.col("decision") != "review")
+    want = {r["key"]: (round(r["keep_prob"], 9), r["decision"])
+            for r in m.predict(probe).collect()}
+    got = {r["key"]: (round(r["keep_prob"], 9), r["decision"])
+           for r in m2.predict(probe).collect()}
+    assert got == want
+    # save is idempotent-overwrite: a second save to the same path loads
+    m.save(str(tmp_path / "model"))
+    assert PreferenceModel.load(str(tmp_path / "model")).model is not None
+
+
 def test_untrained_model_returns_unknown(spark, separable):
     preds = PreferenceModel().predict(separable.limit(3))
     assert {r["decision"] for r in preds.collect()} == {"unknown"}
