@@ -41,6 +41,10 @@ def run_headline() -> None:
     from codedup.queries import QUERIES
     from codedup.session import build_session
 
+    # timings must measure real compute: the cross-session verified-pair
+    # spill (queries._pairs_spill_dir) would otherwise satisfy the LSH
+    # queries from disk and make round-over-round comparison meaningless
+    os.environ["CODEDUP_QUERY_CACHE"] = "off"
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = build_session(f"local[{cpus}]", app_name="codedup-bench",
