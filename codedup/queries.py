@@ -606,8 +606,13 @@ GROUP BY 1
 # embeddings: similarity search (brute-force cosine; ANN baseline)
 # ---------------------------------------------------------------------------
 
-EMB_BLOCKS = 8        # candidate row-blocks (scale: ~ceil(n / 10^5))
-EMB_PROBE_BLOCKS = 4  # probe row-blocks
+# sandbox-sized defaults + scale rules live in config.AnnParams
+# (VERDICT r2 #6); the catalog callables use DEFAULT_ANN so the static
+# oracle SQL stays value-exact, and a cluster user passes AnnParams
+from codedup.config import DEFAULT_ANN, AnnParams  # noqa: E402
+
+EMB_BLOCKS = DEFAULT_ANN.emb_blocks
+EMB_PROBE_BLOCKS = DEFAULT_ANN.probe_blocks
 
 
 def _pack_blocks(emb: DataFrame, n_blocks: int) -> DataFrame:
@@ -656,7 +661,8 @@ def _unpack(ids: list, mat_bytes: bytes):
     return ids_arr, m
 
 
-def q_ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_ann_topk_cosine(spark: SparkSession, sf_dir: str,
+                      params: AnnParams = DEFAULT_ANN) -> DataFrame:
     """Brute-force cosine top-5 per probe vector (vec_id % 50 == 0),
     as a BLOCK-PARTITIONED matmul: probes and candidates are each packed
     into dense row-blocks (one groupBy shuffle per side, no driver
@@ -676,12 +682,12 @@ def q_ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import types as T
 
     emb = _t(spark, sf_dir, "embeddings")
-    cand_blocks = _pack_blocks(emb, EMB_BLOCKS).toDF("cblk", "nids", "nmat")
+    cand_blocks = _pack_blocks(emb, params.emb_blocks).toDF("cblk", "nids", "nmat")
     probe_blocks = _pack_blocks(
-        emb.filter(F.col("vec_id") % 50 == 0), EMB_PROBE_BLOCKS
+        emb.filter(F.col("vec_id") % 50 == 0), params.probe_blocks
     ).toDF("pblk", "qids", "qmat")
     pairs = probe_blocks.crossJoin(cand_blocks).repartition(
-        max(spark.sparkContext.defaultParallelism, EMB_BLOCKS)
+        max(spark.sparkContext.defaultParallelism, params.emb_blocks)
     )
 
     def gen(it):
@@ -744,7 +750,8 @@ WHERE rank <= 5
 """
 
 
-def q_embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_embedding_similar_pairs(spark: SparkSession, sf_dir: str,
+                              params: AnnParams = DEFAULT_ANN) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (threshold 0.45); ids only.
 
     Block-partitioned all-pairs matmul: the table is packed into NB
@@ -759,13 +766,13 @@ def q_embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     # both crossJoin sides read the packed blocks: checkpoint eagerly so
     # the pack UDF runs once, not once per side
-    blocks = _pack_blocks(emb, EMB_BLOCKS).localCheckpoint(eager=True)
+    blocks = _pack_blocks(emb, params.emb_blocks).localCheckpoint(eager=True)
     x = blocks.toDF("xblk", "xids", "xmat")
     y = blocks.toDF("yblk", "yids", "ymat")
     pairs = (
         x.crossJoin(y)
         .filter(F.col("xblk") <= F.col("yblk"))
-        .repartition(max(spark.sparkContext.defaultParallelism, EMB_BLOCKS))
+        .repartition(max(spark.sparkContext.defaultParallelism, params.emb_blocks))
     )
 
     def gen(it):
@@ -1120,33 +1127,34 @@ FROM h GROUP BY 1
 # classifier (feedback-model analog, feedback.py:176-236)
 # ---------------------------------------------------------------------------
 
-ANN_PLANES = 6     # random hyperplanes -> 2^6 buckets
-ANN_DIM = 64
-ANN_PROBE_HAMMING = 1  # probe buckets within Hamming distance 1
+ANN_PLANES = DEFAULT_ANN.n_planes      # -> 2^n_planes buckets
+ANN_DIM = 64                           # test-table embedding dim
+ANN_PROBE_HAMMING = DEFAULT_ANN.probe_hamming
 
 
-def _ann_planes() -> list[list[float]]:
+def _ann_planes(n_planes: int = DEFAULT_ANN.n_planes) -> list[list[float]]:
     """Deterministic random hyperplanes, shared verbatim by the Spark
     implementation and the generated oracle SQL."""
     import numpy as np
 
     rng = np.random.default_rng(1234)
-    planes = rng.standard_normal((ANN_PLANES, ANN_DIM))
+    planes = rng.standard_normal((n_planes, ANN_DIM))
     return [[round(float(x), 6) for x in p] for p in planes]
 
 
-def _bucket_expr(col: str, base: int) -> str:
+def _bucket_expr(col: str, base: int, n_planes: int = DEFAULT_ANN.n_planes) -> str:
     """Packed sign bits of the embedding's dot products with the literal
     hyperplanes.  ``base``: array index origin (Spark SQL = 0,
     DuckDB = 1) — the arithmetic is otherwise engine-identical."""
     parts = []
-    for j, plane in enumerate(_ann_planes()):
+    for j, plane in enumerate(_ann_planes(n_planes)):
         terms = " + ".join(f"{col}[{i + base}] * ({w})" for i, w in enumerate(plane) if w != 0.0)
         parts.append(f"(CASE WHEN ({terms}) > 0 THEN {1 << j} ELSE 0 END)")
     return "(" + " + ".join(parts) + ")"
 
 
-def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str,
+                       params: AnnParams = DEFAULT_ANN) -> DataFrame:
     """Sign-random-projection LSH ANN: embeddings are bucketed by the
     sign pattern of 6 hyperplane projections; each probe searches only
     buckets within Hamming distance 1 of its own (multi-probe), ranked
@@ -1164,7 +1172,7 @@ def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     (asserted in tests/test_explain_purity.py).  Exactly reproduced by
     the oracle (identical literal hyperplanes)."""
     emb = _t(spark, sf_dir, "embeddings")
-    bcol = F.expr(_bucket_expr("embedding", base=0)).cast("long")
+    bcol = F.expr(_bucket_expr("embedding", base=0, n_planes=params.n_planes)).cast("long")
     dot = "aggregate(zip_with(qa, eb, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
     norm = "sqrt(aggregate(transform({0}, x -> x * x), 0D, (acc, v) -> acc + v))"
     all_b = emb.select(F.col("vec_id").alias("neighbor_id"),
@@ -1174,10 +1182,12 @@ def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qa"),
                 bcol.alias("qb"))
     )
-    probe_buckets = F.array(
-        F.col("qb"),
-        *[F.col("qb").bitwiseXOR(F.lit(1 << j)) for j in range(ANN_PLANES)],
-    )
+    if params.probe_hamming not in (0, 1):
+        raise ValueError("probe_hamming > 1 not implemented (explode "
+                         "multi-bit flips if a larger radius is needed)")
+    flips = ([F.col("qb").bitwiseXOR(F.lit(1 << j)) for j in range(params.n_planes)]
+             if params.probe_hamming == 1 else [])
+    probe_buckets = F.array(F.col("qb"), *flips)
     probes_x = probes.withColumn("pb", F.explode(probe_buckets)).drop("qb")
     cand = (
         probes_x.join(all_b, probes_x["pb"] == all_b["nb"])
@@ -1194,7 +1204,7 @@ def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_ann_lsh() -> str:
-    b = _bucket_expr("embedding", base=1)
+    b = _bucket_expr("embedding", base=1, n_planes=DEFAULT_ANN.n_planes)
     return f"""
 WITH bucketed AS (
   SELECT vec_id, embedding, {b}::BIGINT AS bkt FROM embeddings
@@ -1225,7 +1235,8 @@ WHERE rank <= 5
 SQL_ANN_LSH_BUCKETED = _sql_ann_lsh()
 
 
-def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str,
+                   params: AnnParams = DEFAULT_ANN) -> DataFrame:
     """IVF coarse-quantizer ANN search (codedup.ann): nearest-cell
     assignment + nprobe cell search + exact cosine rank within the
     candidate cells.  The KMeans training half lives OFFLINE in
@@ -1238,7 +1249,8 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from codedup.ann import golden_centroids, ivf_topk_relational
 
     emb = _t(spark, sf_dir, "embeddings")
-    return ivf_topk_relational(emb, golden_centroids(), probe_mod=50, k=5, nprobe=6)
+    return ivf_topk_relational(emb, golden_centroids(), probe_mod=50, k=5,
+                               nprobe=params.ivf_nprobe)
 
 
 def _sql_ann_ivf() -> str:
@@ -1265,7 +1277,7 @@ WITH cent(cell, c) AS (VALUES
   SELECT vec_id AS neighbor_id, embedding AS eb, cell FROM dist WHERE rn = 1
 ), probe_cells AS (
   SELECT vec_id AS query_id, embedding AS qa, cell
-  FROM dist WHERE vec_id % 50 = 0 AND rn <= 6
+  FROM dist WHERE vec_id % 50 = 0 AND rn <= {DEFAULT_ANN.ivf_nprobe}
 ), cand AS (
   SELECT p.query_id, a.neighbor_id,
          round(

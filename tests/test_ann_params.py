@@ -1,0 +1,78 @@
+"""AnnParams (VERDICT r2 #6): the ANN/block knobs are config now; a
+different setting must change the physical plan/work but never break
+the semantics — blocking is result-invariant by construction, and the
+pruned searches degrade to exact brute force when the knobs are opened
+fully."""
+
+import pandas as pd
+
+from codedup.config import DEFAULT_ANN, AnnParams
+from codedup.queries import (
+    q_ann_lsh_bucketed,
+    q_ann_topk_cosine,
+    q_embedding_similar_pairs,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _pdf(df):
+    return df.toPandas().sort_values(list(df.columns), ignore_index=True)
+
+
+def test_blocking_is_result_invariant(spark):
+    """emb_blocks/probe_blocks split rows, never the dim axis — any
+    setting gives bit-identical top-k."""
+    want = _pdf(q_ann_topk_cosine(spark, SF))
+    got = _pdf(q_ann_topk_cosine(spark, SF,
+                                 AnnParams(emb_blocks=3, probe_blocks=2)))
+    assert got.equals(want)
+    w2 = _pdf(q_embedding_similar_pairs(spark, SF))
+    g2 = _pdf(q_embedding_similar_pairs(spark, SF, AnnParams(emb_blocks=5)))
+    assert g2.equals(w2)
+
+
+def test_lsh_fully_open_equals_brute_force(spark):
+    """n_planes=1 with Hamming-1 multi-probe covers both buckets ->
+    zero pruning -> must equal the exact brute-force top-5 (same
+    (sim6 desc, neighbor_id) order rule)."""
+    brute = _pdf(q_ann_topk_cosine(spark, SF))
+    open_lsh = _pdf(q_ann_lsh_bucketed(spark, SF, AnnParams(n_planes=1)))
+    assert open_lsh.equals(brute)
+
+
+def test_lsh_planes_change_plan_not_contract(spark):
+    """More planes = different literal plan (more hyperplane terms,
+    more probe flips) and more pruning, same output schema."""
+    p6 = q_ann_lsh_bucketed(spark, SF, DEFAULT_ANN)
+    p3 = q_ann_lsh_bucketed(spark, SF, AnnParams(n_planes=3))
+    s6 = p6._jdf.queryExecution().executedPlan().toString()
+    s3 = p3._jdf.queryExecution().executedPlan().toString()
+    assert s6 != s3
+    assert p6.columns == p3.columns == ["query_id", "neighbor_id", "rank"]
+
+
+def test_ivf_nprobe_full_equals_brute_force(spark):
+    """nprobe = n_cells searches every cell -> exact brute force."""
+    from codedup.ann import golden_centroids, ivf_topk_relational
+    from codedup.queries import _t
+
+    emb = _t(spark, SF, "embeddings")
+    cents = golden_centroids()
+    got = _pdf(ivf_topk_relational(emb, cents, probe_mod=50, k=5,
+                                   nprobe=len(cents)))
+    brute = _pdf(q_ann_topk_cosine(spark, SF))
+    assert got.equals(brute)
+
+
+def test_probe_hamming_zero_prunes_harder(spark):
+    """probe_hamming=0 searches only the probe's own bucket — a legal
+    setting that returns (possibly) fewer/different rows but never a
+    wrong schema; radius > 1 is an explicit error, not silent."""
+    import pytest
+
+    df = q_ann_lsh_bucketed(spark, SF, AnnParams(probe_hamming=0))
+    assert df.columns == ["query_id", "neighbor_id", "rank"]
+    assert df.count() > 0
+    with pytest.raises(ValueError):
+        q_ann_lsh_bucketed(spark, SF, AnnParams(probe_hamming=2)).count()
