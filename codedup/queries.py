@@ -1692,6 +1692,126 @@ WHERE rank <= 3
 
 
 # ---------------------------------------------------------------------------
+# apply surface (S10/S12): plan_moves under the oracle gate
+# ---------------------------------------------------------------------------
+
+# deterministic action-table arithmetic shared (as expressions) by the
+# Spark query and the DuckDB oracle: a name pool with colliding stems,
+# pre-numbered _N stems (family stripping), dot-less names (suffix='')
+# and keep/dedup/review actions — every branch of the conflict
+# semantics is exercised on 500 rows at sf0.01
+_APPLY_EXISTING = [("f0.py",), ("f1.py",), ("f2_1.py",), ("noext",)]
+
+
+def q_apply_plan_moves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10/S12 planning half under the value-exact gate (VERDICT r2
+    #7): a deterministic action table is derived arithmetically from
+    doc_ids (colliding basenames, _N-numbered stems, empty suffixes,
+    non-mover 'keep' rows) plus a fixed existing-name table, and
+    codedup.apply.plan_moves assigns destination names; the DuckDB
+    oracle reproduces the whole family/stem_N discipline — original-
+    name claims, blocked set, family candidate sequence, slot matching
+    — in SQL.  Output is ids + strings only (no floats)."""
+    from codedup.apply import plan_moves
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    base = "concat('f', CAST(doc_id % 7 AS STRING))"
+    stem = (f"CASE WHEN doc_id % 11 = 0 THEN concat({base}, '_',"
+            f" CAST(doc_id % 3 + 1 AS STRING)) ELSE {base} END")
+    suffix = ("CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN '.py'"
+              " WHEN 1 THEN '.txt' ELSE '' END")
+    name = f"concat({stem}, {suffix})"
+    actions = docs.select(
+        F.col("doc_id").alias("file_id"),
+        F.expr(f"concat('r', CAST(doc_id % 5 AS STRING), '/sub/', {name}, '@c0')")
+        .alias("key"),
+        (F.col("doc_id") / 10).cast("long").alias("cluster_id"),
+        (F.col("doc_id") % 10).alias("rank"),
+        F.expr("CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'keep'"
+               " WHEN 1 THEN 'dedup' ELSE 'review' END").alias("action"),
+    )
+    existing = spark.createDataFrame(_APPLY_EXISTING, "name string")
+    return plan_moves(actions, "/dest", existing).withColumnRenamed("rank", "r_rank")
+
+
+SQL_APPLY_PLAN_MOVES = """
+WITH movers AS (
+  SELECT doc_id AS file_id,
+         'r' || (doc_id % 5)::VARCHAR || '/sub/' ||
+           (CASE WHEN doc_id % 11 = 0
+                 THEN 'f' || (doc_id % 7)::VARCHAR || '_' || (doc_id % 3 + 1)::VARCHAR
+                 ELSE 'f' || (doc_id % 7)::VARCHAR END)
+           || (CASE (doc_id % 3)::INT WHEN 0 THEN '.py' WHEN 1 THEN '.txt' ELSE '' END)
+           || '@c0' AS key,
+         (doc_id // 10)::BIGINT AS cluster_id,
+         (doc_id % 10)::BIGINT AS r_rank,
+         CASE (doc_id % 4)::INT WHEN 1 THEN 'dedup' ELSE 'review' END AS action,
+         (CASE WHEN doc_id % 11 = 0
+               THEN 'f' || (doc_id % 7)::VARCHAR || '_' || (doc_id % 3 + 1)::VARCHAR
+               ELSE 'f' || (doc_id % 7)::VARCHAR END)
+           || (CASE (doc_id % 3)::INT WHEN 0 THEN '.py' WHEN 1 THEN '.txt' ELSE '' END)
+           AS src_name,
+         CASE WHEN doc_id % 11 = 0
+              THEN 'f' || (doc_id % 7)::VARCHAR || '_' || (doc_id % 3 + 1)::VARCHAR
+              ELSE 'f' || (doc_id % 7)::VARCHAR END AS stem,
+         CASE (doc_id % 3)::INT WHEN 0 THEN '.py' WHEN 1 THEN '.txt' ELSE '' END AS suffix,
+         'f' || (doc_id % 7)::VARCHAR AS fam
+  FROM documents
+  WHERE (doc_id % 4)::INT IN (1, 2, 3)
+), exist(name, stem, suffix, fam) AS (VALUES
+  ('f0.py', 'f0', '.py', 'f0'),
+  ('f1.py', 'f1', '.py', 'f1'),
+  ('f2_1.py', 'f2_1', '.py', 'f2'),
+  ('noext', 'noext', '', 'noext')
+), claim AS (
+  SELECT *, row_number() OVER (PARTITION BY src_name
+                               ORDER BY cluster_id, r_rank, file_id) AS claim_rn
+  FROM movers
+), claimants AS (
+  SELECT * FROM claim
+  WHERE claim_rn = 1 AND src_name NOT IN (SELECT name FROM exist)
+), rest AS (
+  SELECT * FROM claim WHERE file_id NOT IN (SELECT file_id FROM claimants)
+), blocked AS (
+  SELECT src_name AS b FROM claimants UNION SELECT name FROM exist
+), m_cnt AS (
+  SELECT fam, suffix, count(*) AS m FROM movers GROUP BY 1, 2
+), e_cnt AS (
+  SELECT fam, suffix, count(*) AS e FROM exist GROUP BY 1, 2
+), cands AS (
+  SELECT mc.fam, mc.suffix, t.i,
+         CASE WHEN t.i = 0 THEN mc.fam || mc.suffix
+              ELSE mc.fam || '_' || t.i::VARCHAR || mc.suffix END AS cand_name
+  FROM (SELECT mc0.fam, mc0.suffix, mc0.m, coalesce(ec.e, 0) AS e
+        FROM m_cnt mc0 LEFT JOIN e_cnt ec
+          ON mc0.fam = ec.fam AND mc0.suffix = ec.suffix) mc,
+       LATERAL (SELECT unnest(generate_series(0, mc.m * 2 + mc.e)) AS i) t
+), slots AS (
+  SELECT fam, suffix, cand_name,
+         row_number() OVER (PARTITION BY fam, suffix ORDER BY i) - 1 AS slot
+  FROM cands WHERE cand_name NOT IN (SELECT b FROM blocked)
+), ordered AS (
+  SELECT *, row_number() OVER (PARTITION BY fam, suffix
+                               ORDER BY cluster_id, r_rank, file_id) - 1 AS ordinal
+  FROM rest
+), assigned AS (
+  SELECT o.file_id, o.key, o.cluster_id, o.r_rank, o.action, o.src_name,
+         s.cand_name AS dest_name
+  FROM ordered o JOIN slots s
+    ON o.fam = s.fam AND o.suffix = s.suffix AND o.ordinal = s.slot
+)
+SELECT file_id, key, cluster_id, r_rank, action, src_name,
+       '/dest/' || dest_name AS dest_path
+FROM (
+  SELECT file_id, key, cluster_id, r_rank, action, src_name, dest_name FROM assigned
+  UNION ALL
+  SELECT file_id, key, cluster_id, r_rank, action, src_name, src_name AS dest_name
+  FROM claimants
+)
+"""
+
+
+# ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
 
@@ -1720,6 +1840,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "label_centroid_classifier": q_label_centroid_classifier,
     "doc_category_rules": q_doc_category_rules,
     "feedback_model_predictions": q_feedback_model_predictions,
+    "apply_plan_moves": q_apply_plan_moves,
     "pricing_summary": q_pricing_summary,
     "top_orders_per_customer": q_top_orders_per_customer,
     "customers_without_orders": q_customers_without_orders,
@@ -1755,6 +1876,7 @@ ORACLES: dict[str, str] = {
     "embedding_similar_pairs": SQL_EMBEDDING_SIMILAR_PAIRS,
     "label_centroid_classifier": SQL_LABEL_CENTROID_CLASSIFIER,
     "doc_category_rules": SQL_DOC_CATEGORY_RULES,
+    "apply_plan_moves": SQL_APPLY_PLAN_MOVES,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "top_orders_per_customer": SQL_TOP_ORDERS_PER_CUSTOMER,
     "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
