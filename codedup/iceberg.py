@@ -109,6 +109,9 @@ class IcebergStorage:
             name = r["tableName"]
             if name.startswith(f"{self.run_id}_"):
                 m = self._manifest_or_none(name[len(self.run_id) + 1:])
-                if m:
+                # the name prefix alone is ambiguous (run 'r1' also
+                # prefixes 'r1_extra_fingerprint', ADVICE r2): accept
+                # only manifests whose RECORDED run_id matches exactly
+                if m and m.get("run_id") == self.run_id:
                     out.append(m)
         return sorted(out, key=lambda m: m["stage"])

@@ -405,10 +405,15 @@ WITH toks AS (
   SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
   FROM documents
 ), grams AS (
-  SELECT DISTINCT doc_id, array_to_string(list_slice(tk, i, i + 2), ' ') AS g
+  -- zero-token docs keep one sentinel gram '' (array_to_string of the
+  -- empty slice is NULL -> coalesced to ''): mirrors the engine, whose
+  -- verify maps n_union=0 to ppm 1000000, so two whitespace-only docs
+  -- pair at 1.0 in BOTH engines (ADVICE r2: the old WHERE len(tk) > 0
+  -- dropped them here while the engine emitted them)
+  SELECT DISTINCT doc_id,
+         coalesce(array_to_string(list_slice(tk, i, i + 2), ' '), '') AS g
   FROM toks,
        LATERAL (SELECT unnest(generate_series(1, greatest(len(tk) - 2, 1))) AS i) t
-  WHERE len(tk) > 0
 ), sizes AS (
   SELECT doc_id, count(*) AS n FROM grams GROUP BY 1
 ), inter AS (

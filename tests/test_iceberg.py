@@ -141,8 +141,14 @@ def test_all_manifests_scopes_to_run(fake):
     st.write(FakeDF([1, 2], fake), "candidates")
     other = IcebergStorage(fake, "lake", "codedup", "r2", "fp1")
     other.write(FakeDF([1], fake), "bands")
+    # run_id that PREFIXES another run's id (ADVICE r2): 'r1' must not
+    # see 'r1_extra''s tables even though 'r1_extra_bands' starts with
+    # 'r1_'
+    prefixy = IcebergStorage(fake, "lake", "codedup", "r1_extra", "fp1")
+    prefixy.write(FakeDF([1], fake), "bands")
     names = [m["stage"] for m in st.all_manifests()]
     assert names == ["bands", "candidates"]
+    assert [m["stage"] for m in prefixy.all_manifests()] == ["bands"]
 
 
 def test_pipeline_accepts_injected_storage(spark, tiny, cfg, tmp_path):

@@ -74,6 +74,37 @@ def test_clusters_cover_exact_dup_members(spark, dup_dir):
     assert got == want
 
 
+def test_token_lsh_zero_token_docs_match_oracle(spark, tmp_path):
+    """ADVICE r2: the sf corpora contain no empty/whitespace-only docs,
+    so the zero-token edge is pinned here — the engine pairs distinct
+    whitespace-only docs (n_union=0 -> ppm 1e6) and byte-identical
+    empties (sha expansion), and the oracle's sentinel '' gram must
+    agree exactly."""
+    from codedup.queries import ORACLES, q_dedup_minhash_lsh_tokens
+
+    rows = [
+        (0, "en", ""),              # empty
+        (1, "en", "   \t  "),       # whitespace-only, byte-distinct
+        (2, "en", ""),              # byte-identical to 0
+        (3, "en", "alpha beta gamma delta epsilon zeta"),   # real doc
+        (4, "en", "alpha beta gamma delta epsilon zeta"),   # its exact dup
+        (5, "en", "unrelated words entirely here now folks"),
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(rows, "doc_id long, lang string, text string") \
+        .coalesce(1).write.mode("overwrite").parquet(d + "/documents.parquet")
+
+    got = {tuple(r) for r in q_dedup_minhash_lsh_tokens(spark, d).collect()}
+    want = {tuple(int(x) for x in r)
+            for r in _oracle(d, ORACLES["dedup_minhash_lsh_tokens"]).itertuples(index=False)}
+    assert got == want
+    # the planted edge rows are actually in play
+    assert (0, 1, 1_000_000) in got     # distinct whitespace-only pair
+    assert (0, 2, 1_000_000) in got     # byte-identical empty pair
+    assert (3, 4, 1_000_000) in got
+    assert not any({a, b} & {5} for a, b, _ in got)
+
+
 def test_category_rules_cover_trash_branches(spark, tmp_path):
     """The sf corpora contain no empty/repetitive docs, so the TRASH
     branches of the rule tree are pinned here against the same DuckDB
