@@ -1696,6 +1696,90 @@ WHERE rank <= 3
 """
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str,
+                     params: AnnParams = DEFAULT_ANN) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540) over the embeddings table: vectors are clustered
+    by the PINNED coarse-quantizer centroids (same golden as
+    ann_ivf_topk — production shape: cluster once, dedup within cells),
+    and within each cell a vector is DROPPED when some lower-id vector
+    in the same cell has cosine similarity >= the near-dup threshold
+    (0.45 on this corpus).  Keep-lowest-id is the deterministic analog
+    of SemDeDup's keep-one-per-semantic-group; the within-cell pair
+    join costs ~n^2/cells instead of n^2 — the same pruning argument as
+    IVF search, and the policy a 100 TB training-data pipeline actually
+    runs (cells are bucketed, each cell's join is cell-local).
+
+    Output: (vec_id, cell, kept int) for every vector — ids only, no
+    floats, value-exact against the DuckDB oracle."""
+    from codedup.ann import _ranked_cells, golden_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned = (
+        _ranked_cells(emb, golden_centroids(), "vec_id", "embedding")
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cell")
+        .localCheckpoint(eager=True)   # both sides of the pair join
+    )
+    dot = "aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"
+    norm = ("sqrt(aggregate(transform({0}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+            " 0D, (acc, v) -> acc + v))")
+    a = assigned.select(F.col("vec_id").alias("ka"), F.col("embedding").alias("ea"), "cell")
+    b = assigned.select(F.col("vec_id").alias("kb"), F.col("embedding").alias("eb"), "cell")
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("ka") < F.col("kb"))
+        .withColumn("sim6", F.round(
+            F.expr(dot) / (F.expr(norm.format("ea")) * F.expr(norm.format("eb"))), 6))
+        .filter(F.col("sim6") >= 0.45)
+        .select(F.col("kb").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(dropped.withColumn("_d", F.lit(1)), "vec_id", "left")
+        .select("vec_id", "cell",
+                F.when(F.col("_d").isNull(), 1).otherwise(0).cast("int").alias("kept"))
+    )
+
+
+def _sql_semantic_dedup() -> str:
+    from codedup.ann import golden_centroids
+
+    vals = ",\n    ".join(
+        "({}, [{}]::DOUBLE[])".format(i, ", ".join(repr(x) for x in c))
+        for i, c in enumerate(golden_centroids())
+    )
+    return f"""
+WITH cent(cell, c) AS (VALUES
+    {vals}
+), dist AS (
+  SELECT e.vec_id, e.embedding, ct.cell,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY round(list_sum(list_transform(generate_series(1, len(e.embedding)),
+                                     i -> (e.embedding[i]::DOUBLE - ct.c[i]) * (e.embedding[i]::DOUBLE - ct.c[i]))), 6),
+                                     ct.cell) AS rn
+  FROM embeddings e CROSS JOIN cent ct
+), assigned AS (
+  SELECT vec_id, embedding, cell FROM dist WHERE rn = 1
+), dropped AS (
+  SELECT DISTINCT y.vec_id
+  FROM assigned x JOIN assigned y
+    ON x.cell = y.cell AND x.vec_id < y.vec_id
+  WHERE round(
+          list_sum(list_transform(generate_series(1, len(x.embedding)),
+                                  i -> x.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE))
+          / (sqrt(list_sum(list_transform(x.embedding, v -> v::DOUBLE * v::DOUBLE)))
+             * sqrt(list_sum(list_transform(y.embedding, v -> v::DOUBLE * v::DOUBLE)))),
+          6) >= 0.45
+)
+SELECT a.vec_id, a.cell, (CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END)::INT AS kept
+FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+"""
+
+
+SQL_SEMANTIC_DEDUP = _sql_semantic_dedup()
+
+
 # ---------------------------------------------------------------------------
 # apply surface (S10/S12): plan_moves under the oracle gate
 # ---------------------------------------------------------------------------
@@ -1846,6 +1930,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_category_rules": q_doc_category_rules,
     "feedback_model_predictions": q_feedback_model_predictions,
     "apply_plan_moves": q_apply_plan_moves,
+    "semantic_dedup": q_semantic_dedup,
     "pricing_summary": q_pricing_summary,
     "top_orders_per_customer": q_top_orders_per_customer,
     "customers_without_orders": q_customers_without_orders,
@@ -1882,6 +1967,7 @@ ORACLES: dict[str, str] = {
     "label_centroid_classifier": SQL_LABEL_CENTROID_CLASSIFIER,
     "doc_category_rules": SQL_DOC_CATEGORY_RULES,
     "apply_plan_moves": SQL_APPLY_PLAN_MOVES,
+    "semantic_dedup": SQL_SEMANTIC_DEDUP,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "top_orders_per_customer": SQL_TOP_ORDERS_PER_CUSTOMER,
     "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,

@@ -65,6 +65,26 @@ def test_ivf_nprobe_full_equals_brute_force(spark):
     assert got.equals(brute)
 
 
+def test_semantic_dedup_policy(spark):
+    """SemDeDup keep-lowest-id policy: every >=0.45 cosine pair that
+    shares a cell must have its higher id dropped; kept+dropped
+    partition the table; a corpus with near-dups actually drops rows."""
+    from codedup.queries import q_embedding_similar_pairs, q_semantic_dedup
+
+    sd = q_semantic_dedup(spark, SF).toPandas()
+    n = spark.read.parquet(f"{SF}/embeddings.parquet").count()
+    assert len(sd) == n == sd.vec_id.nunique()
+    kept = set(sd[sd.kept == 1].vec_id)
+    dropped = set(sd[sd.kept == 0].vec_id)
+    assert kept.isdisjoint(dropped) and kept | dropped == set(sd.vec_id)
+
+    cell_of = dict(zip(sd.vec_id, sd.cell))
+    pairs = q_embedding_similar_pairs(spark, SF).collect()
+    same_cell = [(r["a"], r["b"]) for r in pairs if cell_of[r["a"]] == cell_of[r["b"]]]
+    for a, b in same_cell:
+        assert max(a, b) in dropped, f"near-pair ({a},{b}) shares a cell but kept both"
+
+
 def test_probe_hamming_zero_prunes_harder(spark):
     """probe_hamming=0 searches only the probe's own bucket — a legal
     setting that returns (possibly) fewer/different rows but never a
