@@ -1696,6 +1696,132 @@ WHERE rank <= 3
 """
 
 
+def q_doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021, arXiv:
+    2112.11446 §A1.1 'repetition removal') — the quality-filter class a
+    training-data pipeline runs before dedup: per document, the
+    duplicate-line fraction, the most-frequent-token mass and the
+    most-frequent-word-bigram mass, as integer ppm.  One scan +
+    explode/groupBy aggregations, entirely JVM-side; docs with no
+    tokens/bigrams report 0 (LEFT join + coalesce), so every doc_id is
+    covered."""
+    docs = _t(spark, sf_dir, "documents")
+    lines = "filter(transform(split(text, '\\n'), x -> trim(x)), x -> x != '')"
+    base = docs.select(
+        "doc_id",
+        F.expr(f"size({lines})").cast("long").alias("n_lines"),
+        F.expr(f"size(array_distinct({lines}))").cast("long").alias("n_uniq"),
+        F.expr(_TOKENS).alias("tk"),
+    ).withColumn("n_tokens", F.expr("size(tk)").cast("long")) \
+     .localCheckpoint(eager=True)   # feeds 3 aggregations
+    head = base.select(
+        "doc_id", "n_lines", "n_tokens",
+        F.expr("CASE WHEN n_lines = 0 THEN 0"
+               " ELSE ((n_lines - n_uniq) * 1000000) div n_lines END")
+        .cast("long").alias("dup_line_ppm"),
+    )
+    tcnt = (
+        base.select("doc_id", F.explode("tk").alias("tok"))
+        .groupBy("doc_id", "tok").count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("mx"), F.sum("count").alias("tot"))
+        .select("doc_id",
+                F.expr("(mx * 1000000) div tot").cast("long").alias("top_token_ppm"))
+    )
+    bigrams = ("CASE WHEN size(tk) >= 2 THEN transform(sequence(1, size(tk) - 1),"
+               " i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))"
+               " ELSE array() END")
+    bcnt = (
+        base.select("doc_id", F.explode(F.expr(bigrams)).alias("bg"))
+        .groupBy("doc_id", "bg").count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("mx"), F.sum("count").alias("tot"))
+        .select("doc_id",
+                F.expr("(mx * 1000000) div tot").cast("long").alias("top_bigram_ppm"))
+    )
+    return (
+        head.join(tcnt, "doc_id", "left").join(bcnt, "doc_id", "left")
+        .select("doc_id", "n_lines", "dup_line_ppm", "n_tokens",
+                F.coalesce("top_token_ppm", F.lit(0)).cast("long").alias("top_token_ppm"),
+                F.coalesce("top_bigram_ppm", F.lit(0)).cast("long").alias("top_bigram_ppm"))
+    )
+
+
+SQL_DOC_REPETITION_STATS = """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split_regex(text, '\\n'), x -> trim(x)),
+                     x -> x <> '') AS ln,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
+  FROM documents
+), head AS (
+  SELECT doc_id, len(ln)::BIGINT AS n_lines, len(tk)::BIGINT AS n_tokens,
+         (CASE WHEN len(ln) = 0 THEN 0
+               ELSE ((len(ln) - len(list_distinct(ln))) * 1000000) // len(ln)
+          END)::BIGINT AS dup_line_ppm
+  FROM base
+), tcnt AS (
+  SELECT doc_id, ((max(c) * 1000000) // sum(c))::BIGINT AS top_token_ppm
+  FROM (SELECT doc_id, tok, count(*) AS c
+        FROM (SELECT doc_id, unnest(tk) AS tok FROM base) GROUP BY 1, 2)
+  GROUP BY 1
+), bcnt AS (
+  SELECT doc_id, ((max(c) * 1000000) // sum(c))::BIGINT AS top_bigram_ppm
+  FROM (SELECT doc_id, bg, count(*) AS c
+        FROM (SELECT doc_id,
+                     unnest(CASE WHEN len(tk) >= 2
+                                 THEN list_transform(generate_series(1, len(tk) - 1),
+                                                     i -> tk[i] || ' ' || tk[i + 1])
+                                 ELSE []::VARCHAR[] END) AS bg
+              FROM base) GROUP BY 1, 2)
+  GROUP BY 1
+)
+SELECT h.doc_id, h.n_lines, h.dup_line_ppm, h.n_tokens,
+       coalesce(t.top_token_ppm, 0)::BIGINT AS top_token_ppm,
+       coalesce(b.top_bigram_ppm, 0)::BIGINT AS top_bigram_ppm
+FROM head h LEFT JOIN tcnt t USING (doc_id) LEFT JOIN bcnt b USING (doc_id)
+"""
+
+
+# PII patterns shared by both engines: RE2-safe (no lookaround), and
+# backslashes doubled only for the Spark SQL literal (Java string
+# processing) — DuckDB string literals keep backslashes as-is
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def _spark_lit(pat: str) -> str:
+    return pat.replace("\\", "\\\\")
+
+
+def q_doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass (training-data hygiene): count and redact
+    email addresses and IPv4 literals with deterministic placeholders,
+    emitting the sha256 of the scrubbed text so the oracle verifies the
+    TRANSFORM byte-for-byte, not just the counts.  Pure JVM regexes
+    (RE2-compatible: no lookaround), one scan, no shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    em, ip = _spark_lit(_PII_EMAIL), _spark_lit(_PII_IPV4)
+    scrub = (f"regexp_replace(regexp_replace(text, '{em}', '<EMAIL>'),"
+             f" '{ip}', '<IP>')")
+    return docs.select(
+        "doc_id",
+        F.expr(f"size(regexp_extract_all(text, '{em}', 0))").cast("long").alias("n_emails"),
+        F.expr(f"size(regexp_extract_all(text, '{ip}', 0))").cast("long").alias("n_ips"),
+        F.expr(f"sha2({scrub}, 256)").alias("scrub_sha"),
+    )
+
+
+SQL_DOC_PII_SCRUB = f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_PII_EMAIL}'))::BIGINT AS n_emails,
+       len(regexp_extract_all(text, '{_PII_IPV4}'))::BIGINT AS n_ips,
+       sha256(regexp_replace(regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                             '{_PII_IPV4}', '<IP>', 'g')) AS scrub_sha
+FROM documents
+"""
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str,
                      params: AnnParams = DEFAULT_ANN) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
@@ -1931,6 +2057,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "feedback_model_predictions": q_feedback_model_predictions,
     "apply_plan_moves": q_apply_plan_moves,
     "semantic_dedup": q_semantic_dedup,
+    "doc_repetition_stats": q_doc_repetition_stats,
+    "doc_pii_scrub": q_doc_pii_scrub,
     "pricing_summary": q_pricing_summary,
     "top_orders_per_customer": q_top_orders_per_customer,
     "customers_without_orders": q_customers_without_orders,
@@ -1968,6 +2096,8 @@ ORACLES: dict[str, str] = {
     "doc_category_rules": SQL_DOC_CATEGORY_RULES,
     "apply_plan_moves": SQL_APPLY_PLAN_MOVES,
     "semantic_dedup": SQL_SEMANTIC_DEDUP,
+    "doc_repetition_stats": SQL_DOC_REPETITION_STATS,
+    "doc_pii_scrub": SQL_DOC_PII_SCRUB,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "top_orders_per_customer": SQL_TOP_ORDERS_PER_CUSTOMER,
     "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,

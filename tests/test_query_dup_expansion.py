@@ -161,6 +161,61 @@ def test_containment_catches_subsets_jaccard_misses(spark, tmp_path):
     assert cont == want
 
 
+def test_repetition_stats_branches(spark, tmp_path):
+    """Gopher repetition signals: duplicate lines, dominant token,
+    dominant bigram, and the empty/one-token edge rows — pinned against
+    the DuckDB oracle on a planted corpus (the sf corpora are mostly
+    non-repetitive)."""
+    from codedup.queries import ORACLES, q_doc_repetition_stats
+
+    rows = [
+        (0, "en", "same line\nsame line\nsame line\nother line"),  # 2/4 dup lines
+        (1, "en", "spam spam spam spam ham"),                      # token mass 4/5
+        (2, "en", "go go go go"),                                  # bigram 'go go' 3/3
+        (3, "en", ""),                                             # empty -> all 0
+        (4, "en", "solo"),                                         # 1 token, no bigram
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(rows, "doc_id long, lang string, text string") \
+        .coalesce(1).write.mode("overwrite").parquet(d + "/documents.parquet")
+    got = {r["doc_id"]: r.asDict() for r in q_doc_repetition_stats(spark, d).collect()}
+    assert got[0]["dup_line_ppm"] == (2 * 1_000_000) // 4
+    assert got[1]["top_token_ppm"] == (4 * 1_000_000) // 5
+    assert got[2]["top_bigram_ppm"] == 1_000_000
+    assert got[3] == {"doc_id": 3, "n_lines": 0, "dup_line_ppm": 0, "n_tokens": 0,
+                      "top_token_ppm": 0, "top_bigram_ppm": 0}
+    assert got[4]["top_bigram_ppm"] == 0 and got[4]["top_token_ppm"] == 1_000_000
+    want = {int(r.doc_id): {k: int(v) if k != "doc_id" else int(v)
+                            for k, v in r._asdict().items()}
+            for r in _oracle(d, ORACLES["doc_repetition_stats"]).itertuples(index=False)}
+    assert {k: {kk: int(vv) for kk, vv in v.items()} for k, v in got.items()} == want
+
+
+def test_pii_scrub_redacts_and_matches_oracle(spark, tmp_path):
+    """Planted emails/IPs must be counted and redacted identically in
+    both engines (scrub_sha pins the transform byte-for-byte)."""
+    from codedup.queries import ORACLES, q_doc_pii_scrub
+
+    rows = [
+        (0, "en", "contact a.user+tag@example.co.uk or b@x.io now"),
+        (1, "en", "server at 192.168.0.1 and 10.0.0.255, not 1.2.3"),
+        (2, "en", "no pii here at all"),
+        (3, "en", "mixed: c@d.org from 8.8.8.8"),
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(rows, "doc_id long, lang string, text string") \
+        .coalesce(1).write.mode("overwrite").parquet(d + "/documents.parquet")
+    got = {r["doc_id"]: (r["n_emails"], r["n_ips"], r["scrub_sha"])
+           for r in q_doc_pii_scrub(spark, d).collect()}
+    assert got[0][:2] == (2, 0)
+    assert got[1][:2] == (0, 2)
+    assert got[2][:2] == (0, 0)
+    assert got[3][:2] == (1, 1)
+    want = {int(r.doc_id): (int(r.n_emails), int(r.n_ips), r.scrub_sha)
+            for r in _oracle(d, ORACLES["doc_pii_scrub"]).itertuples(index=False)}
+    assert got == want
+
+
 def test_winnowing_guarantee(spark, tmp_path):
     """Winnowing's detection guarantee: two documents sharing a
     substring of length >= k + W - 1 (= 11 at k=8, W=4) MUST share at
