@@ -98,8 +98,9 @@ class AnnParams:
       n_planes      ~ log2(n / target_bucket_rows): 6 -> 64 buckets is
                       right for 10^3-10^5 vectors; at 10^9 vectors use
                       ~14-17 so buckets stay O(10^4-10^5).
-      probe_hamming   multi-probe radius; 1 explodes each probe into
-                      1 + n_planes bucket values (all still equi-join).
+      probe_hamming   multi-probe radius (0, 1 or 2); r explodes each
+                      probe into sum_{i<=r} C(n_planes, i) bucket
+                      values (all still one equi-join).
       emb_blocks    ~ ceil(n / 1e5): a dense float64 block stays ~50 MB
                       at dim 64; blocking NEVER changes results (rows
                       split, dim axis intact — invariance tested).

@@ -1187,11 +1187,19 @@ def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str,
         .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qa"),
                 bcol.alias("qb"))
     )
-    if params.probe_hamming not in (0, 1):
-        raise ValueError("probe_hamming > 1 not implemented (explode "
-                         "multi-bit flips if a larger radius is needed)")
-    flips = ([F.col("qb").bitwiseXOR(F.lit(1 << j)) for j in range(params.n_planes)]
-             if params.probe_hamming == 1 else [])
+    if params.probe_hamming not in (0, 1, 2):
+        raise ValueError("probe_hamming > 2 not implemented (candidate "
+                         "volume grows as C(planes, r) — explode further "
+                         "flip combinations if a larger radius is needed)")
+    flips = []
+    if params.probe_hamming >= 1:
+        flips += [F.col("qb").bitwiseXOR(F.lit(1 << j))
+                  for j in range(params.n_planes)]
+    if params.probe_hamming >= 2:
+        flips += [F.col("qb").bitwiseXOR(F.lit((1 << j) | (1 << k)))
+                  for j in range(params.n_planes) for k in range(j + 1, params.n_planes)]
+    # all 1 + p + C(p,2) exploded values are pairwise distinct, so each
+    # (query, neighbor) pair still matches through at most one value
     probe_buckets = F.array(F.col("qb"), *flips)
     probes_x = probes.withColumn("pb", F.explode(probe_buckets)).drop("qb")
     cand = (

@@ -88,11 +88,15 @@ def test_semantic_dedup_policy(spark):
 def test_probe_hamming_zero_prunes_harder(spark):
     """probe_hamming=0 searches only the probe's own bucket — a legal
     setting that returns (possibly) fewer/different rows but never a
-    wrong schema; radius > 1 is an explicit error, not silent."""
+    wrong schema; radius 2 fully open equals brute force; radius > 2 is
+    an explicit error, not silent."""
     import pytest
 
     df = q_ann_lsh_bucketed(spark, SF, AnnParams(probe_hamming=0))
     assert df.columns == ["query_id", "neighbor_id", "rank"]
     assert df.count() > 0
+    # radius 2 with 2 planes covers ALL 4 buckets -> exact brute force
+    full = _pdf(q_ann_lsh_bucketed(spark, SF, AnnParams(n_planes=2, probe_hamming=2)))
+    assert full.equals(_pdf(q_ann_topk_cosine(spark, SF)))
     with pytest.raises(ValueError):
-        q_ann_lsh_bucketed(spark, SF, AnnParams(probe_hamming=2)).count()
+        q_ann_lsh_bucketed(spark, SF, AnnParams(probe_hamming=3)).count()

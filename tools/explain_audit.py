@@ -129,6 +129,21 @@ def main() -> int:
     ok &= audit("query: orders_keyset_page (serving filter + keyset page)",
                 QUERIES["orders_keyset_page"](spark, SF))
 
+    # round-3 additions: IVF search and SemDeDup are pure JVM equi-joins
+    # over the pinned-centroid assignment (the eager checkpoint of the
+    # ranked-cells table appears as a scan; the join shape is audited),
+    # repetition/PII/apply are JVM-only single-scan or windowed plans
+    ok &= audit_no_bnlj("query: ann_ivf_topk (pinned-quantizer cell equi-join)",
+                        QUERIES["ann_ivf_topk"](spark, SF))
+    ok &= audit_no_bnlj("query: semantic_dedup (within-cell pair join)",
+                        QUERIES["semantic_dedup"](spark, SF))
+    ok &= audit("query: doc_repetition_stats (explode + group aggregations)",
+                QUERIES["doc_repetition_stats"](spark, SF))
+    ok &= audit("query: doc_pii_scrub (single-scan regex transform)",
+                QUERIES["doc_pii_scrub"](spark, SF))
+    ok &= audit("query: apply_plan_moves (family/slot windows)",
+                QUERIES["apply_plan_moves"](spark, SF))
+
     with open(OUT, "w") as f:
         f.write("# EXPLAIN — physical-plan audit\n\n")
         f.write("Generated by tools/explain_audit.py (rerunnable). Audited "
