@@ -5,16 +5,16 @@ The driver's verify runs ``entry(spark)`` as a smoke check, runs each
 ``oracle_sql()[name]`` via DuckDB (row-count + schema + order-
 insensitive value-hash -> CORRECTNESS_r{N}.json).
 
-One query deliberately has NO oracle entry (the driver records its
-weaker rows-only check for it): ``feedback_model_predictions`` —
-Spark-ML logistic regression, an iterative optimizer DuckDB cannot
-replicate; it is pinned by tests/test_feedback.py instead.
-``ann_ivf_topk`` is oracle-exact since r3: the KMeans training half
-runs offline (tools/make_ivf_centroids.py pins the centroids as a
-golden that tests/test_ann_ivf.py proves reproducible), and the search
-half — assignment + nprobe + cosine rank over the pinned centroid
-literals — is deterministic SQL on both engines, with recall >= 0.8 vs
-brute force still gated in tests/test_ann_ivf.py.
+Every query has a value-exact oracle entry (r3).  The two Spark-ML
+queries reach this through offline training: the iterative optimizer
+(KMeans for ``ann_ivf_topk``, logistic regression for
+``feedback_model_predictions``) runs in tools/make_ivf_centroids.py /
+tools/make_lr_model.py and its artifact is pinned as a committed
+golden; the query is the deterministic SQL-expressible inference half
+over the pinned literals.  Tests assert the training reproduces each
+golden and (for LR) that pinned scoring equals the live Spark-ML
+model's predictions; IVF recall >= 0.8 vs brute force stays gated in
+tests/test_ann_ivf.py.
 
 Implementations live in the ``codedup`` package (see SURVEY.md §2 for
 the operator mapping and codedup/queries.py for per-query docs).

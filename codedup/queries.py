@@ -1462,31 +1462,66 @@ FROM scored
 """
 
 
-def q_feedback_model_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trained preference model (SURVEY §2.8; feedback.py:176-261):
-    synthesize keep/trash decisions from the embedding labels
-    (label < 5 -> keep), train the Spark ML logistic regression
-    (StandardScaler + balanced weights + C=0.1 equivalence) on the
-    non-probe rows, and predict a 0.7/0.3-thresholded decision for
-    every vector.  Not SQL-expressible (iterative optimizer), so there
-    is deliberately no DuckDB oracle — the driver records the weaker
-    rows-only check; the golden-path behavior is pinned by
-    tests/test_feedback.py instead."""
-    from codedup.feedback import PreferenceModel
+_FEEDBACK_LR_GOLDEN = os.path.join(
+    os.path.dirname(__file__), "..", "fixtures", "golden", "feedback_lr.json")
 
+
+def _feedback_lr() -> dict:
+    import json
+
+    with open(_FEEDBACK_LR_GOLDEN) as f:
+        return json.load(f)
+
+
+def q_feedback_model_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained preference model (SURVEY §2.8; feedback.py:176-261),
+    scoring half: the Spark ML logistic regression (StandardScaler +
+    balanced weights + C=0.1 equivalence, labels synthesized as
+    label < 5 -> keep on the vec_id % 5 != 0 rows) is trained OFFLINE
+    by tools/make_lr_model.py and pinned as a folded golden
+    (z = x·c + b0 with the scaler absorbed into c) — the same
+    offline-training pattern as the IVF quantizer, and exactly how a
+    production scorer ships: the iterative optimizer never runs at
+    query time.  The query is one scan computing
+    sigmoid(x·c + b0) rounded to 6 and the reference's 0.7/0.3
+    decision thresholds — deterministic SQL on both engines, so the
+    query carries a value-exact DuckDB oracle (r3; was the last
+    rows-only query).  Training reproduction + equivalence to the live
+    Spark-ML model are pinned in tests/test_feedback.py."""
+    g = _feedback_lr()
     emb = _t(spark, sf_dir, "embeddings")
-    fb = emb.filter(F.col("vec_id") % 5 != 0).select(
-        F.col("vec_id").cast("string").alias("key"),
-        F.when(F.col("label") < 5, "keep").otherwise("trash").alias("decision"),
-        F.col("embedding").cast("array<double>").alias("embedding"),
+    c = ", ".join(repr(x) for x in g["coef"])
+    z = (f"aggregate(zip_with(CAST(embedding AS array<double>), array({c}),"
+         f" (x, y) -> x * y), 0D, (acc, v) -> acc + v) + ({g['bias']!r})")
+    p6 = F.expr(f"round(1 / (1 + exp(-({z}))), 6)")
+    return emb.select(
+        "vec_id",
+        F.when(p6 > 0.7, "keep").when(p6 < 0.3, "trash")
+        .otherwise("review").alias("decision"),
     )
-    model = PreferenceModel()
-    stats = model.train(fb)
-    assert stats["success"], stats
-    return (
-        model.predict(emb.select("vec_id", "embedding"), id_col="vec_id")
-        .select("vec_id", "decision")
-    )
+
+
+def _sql_feedback_lr() -> str:
+    g = _feedback_lr()
+    c = ", ".join(repr(x) for x in g["coef"])
+    return f"""
+WITH scored AS (
+  SELECT vec_id,
+         round(1 / (1 + exp(-(
+           list_sum(list_transform(generate_series(1, len(embedding)),
+                    i -> embedding[i]::DOUBLE * ([{c}]::DOUBLE[])[i]))
+           + ({g['bias']!r})))), 6) AS p6
+  FROM embeddings
+)
+SELECT vec_id,
+       CASE WHEN p6 > 0.7 THEN 'keep'
+            WHEN p6 < 0.3 THEN 'trash'
+            ELSE 'review' END AS decision
+FROM scored
+"""
+
+
+SQL_FEEDBACK_MODEL_PREDICTIONS = _sql_feedback_lr()
 
 
 # ---------------------------------------------------------------------------
@@ -2102,6 +2137,7 @@ ORACLES: dict[str, str] = {
     "embedding_similar_pairs": SQL_EMBEDDING_SIMILAR_PAIRS,
     "label_centroid_classifier": SQL_LABEL_CENTROID_CLASSIFIER,
     "doc_category_rules": SQL_DOC_CATEGORY_RULES,
+    "feedback_model_predictions": SQL_FEEDBACK_MODEL_PREDICTIONS,
     "apply_plan_moves": SQL_APPLY_PLAN_MOVES,
     "semantic_dedup": SQL_SEMANTIC_DEDUP,
     "doc_repetition_stats": SQL_DOC_REPETITION_STATS,

@@ -111,3 +111,43 @@ def test_catalog_query_runs(spark):
     n = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").count()
     assert len(rows) == n
     assert {r["decision"] for r in rows} <= {"keep", "trash", "review"}
+
+
+def test_lr_golden_reproduces(spark):
+    """Retraining the preference LR at sf0.01 must reproduce the
+    committed folded golden (tools/make_lr_model.py) — ties the offline
+    training half to the oracle-checked scoring half, like the IVF
+    centroid golden."""
+    from codedup.queries import _feedback_lr
+    from tools.make_lr_model import train_folded
+
+    fresh = train_folded(spark, "/root/testdata/sf0.01")
+    golden = _feedback_lr()
+    assert abs(fresh["bias"] - golden["bias"]) < 1e-6
+    assert all(abs(a - b) < 1e-6 for a, b in zip(fresh["coef"], golden["coef"]))
+
+
+def test_pinned_scoring_equals_live_model(spark):
+    """The relational pinned-coefficient scorer (catalog query) must
+    produce the same decisions as the live Spark-ML model trained on
+    the same rows (coefficient rounding to 9 decimals cannot move a
+    probability across a threshold on this corpus)."""
+    from pyspark.sql import functions as F
+
+    from codedup.queries import q_feedback_model_predictions
+
+    sf = "/root/testdata/sf0.01"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    fb = emb.filter(F.col("vec_id") % 5 != 0).select(
+        F.col("vec_id").cast("string").alias("key"),
+        F.when(F.col("label") < 5, "keep").otherwise("trash").alias("decision"),
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    model = PreferenceModel()
+    assert model.train(fb)["success"]
+    live = {r["vec_id"]: r["decision"]
+            for r in model.predict(emb.select("vec_id", "embedding"),
+                                   id_col="vec_id").collect()}
+    pinned = {r["vec_id"]: r["decision"]
+              for r in q_feedback_model_predictions(spark, sf).collect()}
+    assert pinned == live
