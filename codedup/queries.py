@@ -1091,6 +1091,82 @@ def q_doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WINNOW_MAX_DF = 10      # drop fingerprints shared by more docs (MOSS
+#                         "ignore very common fingerprints": boilerplate
+#                         kills precision AND is the skew hazard — the
+#                         df cap bounds every fp's join fan-out)
+WINNOW_MIN_SHARED = 2   # pair report threshold
+
+
+def q_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style match detection on winnowing fingerprints: documents
+    sharing >= WINNOW_MIN_SHARED rare fingerprints (document frequency
+    <= WINNOW_MAX_DF) are reported with the shared count.  The df cap
+    is both MOSS's precision rule and the scale guard — a boilerplate
+    fingerprint in f docs would otherwise fan out f^2 pair rows; with
+    the cap every fingerprint's fan-out is bounded by MAX_DF^2 and the
+    self-join stays an equi-join on fp.  Output (a, b, n_shared),
+    integer-only."""
+    docs = _t(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.length("text").alias("_len"),
+        F.posexplode(
+            F.expr(f"transform(sequence(1, greatest(length(text)-{NGRAM_K - 1}, 1)),"
+                   f" i -> substring(text, i, {NGRAM_K}))")
+        ).alias("pos", "g"),
+    ).withColumn("hv", F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("long"))
+    n_grams = F.greatest(F.col("_len") - F.lit(NGRAM_K - 1), F.lit(1))
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, WINNOW_W - 1)
+    fps = (
+        grams.withColumn("fp", F.min("hv").over(w))
+        .filter((F.col("pos") <= n_grams - WINNOW_W) | (F.col("pos") == 0))
+        .select("doc_id", "fp").distinct()
+        .localCheckpoint(eager=True)   # feeds the df count + both join sides
+    )
+    rare = fps.join(
+        fps.groupBy("fp").count().filter(F.col("count") <= WINNOW_MAX_DF).select("fp"),
+        "fp", "left_semi",
+    )
+    a = rare.select(F.col("doc_id").alias("a"), "fp")
+    b = rare.select(F.col("doc_id").alias("b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
+    )
+
+
+SQL_WINNOWING_PAIRS = f"""
+WITH grams AS (
+  SELECT doc_id,
+         greatest(length(text) - {NGRAM_K - 1}, 1) AS n_grams,
+         i - 1 AS pos,
+         ('0x' || substr(md5(substr(text, i, {NGRAM_K})), 1, 15))::BIGINT AS hv
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(1, greatest(length(text)-{NGRAM_K - 1}, 1))) AS i) t
+), wind AS (
+  SELECT doc_id, pos, n_grams,
+         min(hv) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS fp
+  FROM grams
+), fps AS (
+  SELECT DISTINCT doc_id, fp
+  FROM wind
+  WHERE pos <= n_grams - {WINNOW_W} OR pos = 0
+), rare AS (
+  SELECT doc_id, fp FROM fps
+  WHERE fp IN (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= {WINNOW_MAX_DF})
+)
+SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_shared
+FROM rare x JOIN rare y ON x.fp = y.fp AND x.doc_id < y.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= {WINNOW_MIN_SHARED}
+"""
+
+
 SQL_DOC_WINNOWING = f"""
 WITH grams AS (
   SELECT doc_id,
@@ -2089,6 +2165,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id_heuristic": q_lang_id_heuristic,
     "doc_minhash_fingerprint": q_doc_minhash_fingerprint,
     "doc_winnowing": q_doc_winnowing,
+    "winnowing_pairs": q_winnowing_pairs,
     "dedup_clusters": q_dedup_clusters,
     "cluster_savings": q_cluster_savings,
     "ann_topk_cosine": q_ann_topk_cosine,
@@ -2129,6 +2206,7 @@ ORACLES: dict[str, str] = {
     "lang_id_heuristic": SQL_LANG_ID_HEURISTIC,
     "doc_minhash_fingerprint": SQL_DOC_MINHASH_FINGERPRINT,
     "doc_winnowing": SQL_DOC_WINNOWING,
+    "winnowing_pairs": SQL_WINNOWING_PAIRS,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "cluster_savings": SQL_CLUSTER_SAVINGS,
     "ann_topk_cosine": SQL_ANN_TOPK_COSINE,

@@ -161,6 +161,22 @@ def test_containment_catches_subsets_jaccard_misses(spark, tmp_path):
     assert cont == want
 
 
+def test_winnowing_pairs_detect_planted(spark, dup_dir):
+    """MOSS-style shared-fingerprint pairs: byte-identical docs share
+    every fingerprint, near-dups share most, unrelated docs are absent
+    or weak; and the result matches the DuckDB oracle exactly."""
+    from codedup.queries import ORACLES, q_winnowing_pairs
+
+    got = {(r["a"], r["b"]): r["n_shared"]
+           for r in q_winnowing_pairs(spark, dup_dir).collect()}
+    want = {(int(r.a), int(r.b)): int(r.n_shared)
+            for r in _oracle(dup_dir, ORACLES["winnowing_pairs"]).itertuples(index=False)}
+    assert got == want
+    assert (0, 2) in got                      # exact dup of doc 0
+    assert (0, 1) in got                      # near-dup
+    assert got[(0, 2)] >= got[(0, 1)]         # identical >= edited overlap
+
+
 def test_repetition_stats_branches(spark, tmp_path):
     """Gopher repetition signals: duplicate lines, dominant token,
     dominant bigram, and the empty/one-token edge rows — pinned against

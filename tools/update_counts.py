@@ -46,6 +46,7 @@ def patterns(c: dict) -> list[tuple[str, str]]:
         (r"query catalog \(\d+\)", f"query catalog ({nq})"),
         (r"FULL query catalog \(\d+ queries", f"FULL query catalog ({nq} queries"),
         (r"\d+-query catalog", f"{nq}-query catalog"),
+        (r"\d+/\d+ value-exact", f"{no}/{nq} value-exact"),
     ]
     if nt is not None:
         pats += [
