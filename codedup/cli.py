@@ -52,7 +52,50 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def query_main(argv: list[str]) -> int:
+    """`python -m codedup query <name|list> [--sf-dir D] [--limit N]`:
+    run any catalog query against a table directory and print JSON rows
+    — the serving/CLI face of the queries() driver contract."""
+    qp = argparse.ArgumentParser(prog="codedup query",
+                                 description="run a catalog query")
+    qp.add_argument("name", help="query name from the catalog, or 'list'")
+    qp.add_argument("--sf-dir", default="/root/testdata/sf0.001",
+                    help="directory holding the parquet tables")
+    qp.add_argument("--master", default="local[*]")
+    qp.add_argument("--limit", type=int, default=20,
+                    help="max rows printed (0 = all)")
+    args = qp.parse_args(argv)
+
+    from codedup.queries import QUERIES
+
+    if args.name == "list":
+        for name in QUERIES:
+            print(name)
+        return 0
+    if args.name not in QUERIES:
+        print(f"error: unknown query {args.name!r} (try 'list')", file=sys.stderr)
+        return 2
+
+    from codedup.session import build_session
+
+    spark = build_session(args.master, app_name=f"codedup-query-{args.name}")
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        df = QUERIES[args.name](spark, args.sf_dir)
+        rows = df.limit(args.limit).collect() if args.limit else df.collect()
+        for r in rows:
+            json.dump(r.asDict(), sys.stdout, default=str)
+            print()
+        print(f"# {args.name}: printed {len(rows)} row(s)", file=sys.stderr)
+        return 0
+    finally:
+        spark.stop()
+
+
 def main(argv: list[str] | None = None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    if argv and argv[0] == "query":
+        return query_main(argv[1:])
     args = build_parser().parse_args(argv)
 
     overrides = {

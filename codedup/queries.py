@@ -1941,6 +1941,71 @@ FROM documents
 """
 
 
+def q_paragraph_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-paragraph mass (the CCNet/RefinedWeb
+    sub-document dedup signal — boilerplate paragraphs repeated across
+    the corpus): split each document into trimmed non-empty paragraphs
+    (runs of >= 2 newlines), hash each with the portable md5-60bit
+    kernel, compute corpus-wide paragraph document-frequency, and
+    report per document the paragraph count and the ppm of its
+    paragraphs that ALSO appear in some other document.  Two shuffles
+    (df groupBy + doc re-agg) over hashes only — paragraph text never
+    shuffles twice.  Docs with no paragraphs report 0."""
+    docs = _t(spark, sf_dir, "documents")
+    paras = ("filter(transform(split(text, '\\n{2,}'), x -> trim(x)),"
+             " x -> x != '')")
+    pe = docs.select(
+        "doc_id",
+        F.explode_outer(F.expr(paras)).alias("p"),
+    ).withColumn("hv", F.conv(F.substring(F.md5("p"), 1, 15), 16, 10).cast("long"))
+    # paragraph df counts DISTINCT docs (a paragraph repeated inside one
+    # doc is intra-doc repetition, doc_repetition_stats' job)
+    dfreq = (
+        pe.filter(F.col("p").isNotNull())
+        .select("doc_id", "hv").distinct()
+        .groupBy("hv").agg(F.count(F.lit(1)).alias("df"))
+    )
+    per_doc = (
+        pe.join(dfreq, "hv", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("p").alias("n_paras"),
+            F.count(F.when(F.col("df") >= 2, 1)).alias("n_dup"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n_paras").cast("long").alias("n_paras"),
+        F.expr("CASE WHEN n_paras = 0 THEN 0"
+               " ELSE (n_dup * 1000000) div n_paras END")
+        .cast("long").alias("dup_para_ppm"),
+    )
+
+
+SQL_PARAGRAPH_DEDUP_STATS = """
+WITH pe AS (
+  SELECT doc_id,
+         unnest(list_filter(list_transform(string_split_regex(text, '\\n{2,}'),
+                                           x -> trim(x)), x -> x <> '')) AS p
+  FROM documents
+), hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(p), 1, 15))::BIGINT AS hv FROM pe
+), dfreq AS (
+  SELECT hv, count(*) AS df FROM (SELECT DISTINCT doc_id, hv FROM hashed) GROUP BY 1
+), per_doc AS (
+  SELECT h.doc_id, count(*) AS n_paras,
+         count(CASE WHEN d.df >= 2 THEN 1 END) AS n_dup
+  FROM hashed h JOIN dfreq d USING (hv)
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(p.n_paras, 0)::BIGINT AS n_paras,
+       (CASE WHEN coalesce(p.n_paras, 0) = 0 THEN 0
+             ELSE (p.n_dup * 1000000) // p.n_paras END)::BIGINT AS dup_para_ppm
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str,
                      params: AnnParams = DEFAULT_ANN) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
@@ -2178,6 +2243,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "apply_plan_moves": q_apply_plan_moves,
     "semantic_dedup": q_semantic_dedup,
     "doc_repetition_stats": q_doc_repetition_stats,
+    "paragraph_dedup_stats": q_paragraph_dedup_stats,
     "doc_pii_scrub": q_doc_pii_scrub,
     "pricing_summary": q_pricing_summary,
     "top_orders_per_customer": q_top_orders_per_customer,
@@ -2219,6 +2285,7 @@ ORACLES: dict[str, str] = {
     "apply_plan_moves": SQL_APPLY_PLAN_MOVES,
     "semantic_dedup": SQL_SEMANTIC_DEDUP,
     "doc_repetition_stats": SQL_DOC_REPETITION_STATS,
+    "paragraph_dedup_stats": SQL_PARAGRAPH_DEDUP_STATS,
     "doc_pii_scrub": SQL_DOC_PII_SCRUB,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "top_orders_per_customer": SQL_TOP_ORDERS_PER_CUSTOMER,

@@ -207,6 +207,35 @@ def test_repetition_stats_branches(spark, tmp_path):
     assert {k: {kk: int(vv) for kk, vv in v.items()} for k, v in got.items()} == want
 
 
+def test_paragraph_dedup_cross_doc(spark, tmp_path):
+    """Cross-document paragraph dedup: a boilerplate paragraph shared
+    by two docs counts as duplicated in BOTH; intra-doc repetition of a
+    corpus-unique paragraph does NOT count (that's doc_repetition_
+    stats' signal); no-paragraph docs report 0 — and the oracle agrees
+    exactly."""
+    from codedup.queries import ORACLES, q_paragraph_dedup_stats
+
+    boiler = "Licensed under the Apache License."
+    rows = [
+        (0, "en", boiler + "\n\nunique to zero\n\nalso unique zero"),
+        (1, "en", boiler + "\n\ncompletely different body"),
+        (2, "en", "self repeat\n\nself repeat\n\nown text"),   # intra-doc only
+        (3, "en", ""),                                          # no paragraphs
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(rows, "doc_id long, lang string, text string") \
+        .coalesce(1).write.mode("overwrite").parquet(d + "/documents.parquet")
+    got = {r["doc_id"]: (r["n_paras"], r["dup_para_ppm"])
+           for r in q_paragraph_dedup_stats(spark, d).collect()}
+    assert got[0] == (3, 1_000_000 // 3)
+    assert got[1] == (2, 1_000_000 // 2)
+    assert got[2] == (3, 0)          # df counts distinct docs
+    assert got[3] == (0, 0)
+    want = {int(r.doc_id): (int(r.n_paras), int(r.dup_para_ppm))
+            for r in _oracle(d, ORACLES["paragraph_dedup_stats"]).itertuples(index=False)}
+    assert got == want
+
+
 def test_pii_scrub_redacts_and_matches_oracle(spark, tmp_path):
     """Planted emails/IPs must be counted and redacted identically in
     both engines (scrub_sha pins the transform byte-for-byte)."""
