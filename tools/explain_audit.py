@@ -143,6 +143,10 @@ def main() -> int:
                 QUERIES["doc_pii_scrub"](spark, SF))
     ok &= audit("query: apply_plan_moves (family/slot windows)",
                 QUERIES["apply_plan_moves"](spark, SF))
+    ok &= audit_no_bnlj("query: winnowing_pairs (rare-fingerprint equi self-join)",
+                        QUERIES["winnowing_pairs"](spark, SF))
+    ok &= audit("query: paragraph_dedup_stats (paragraph-df join)",
+                QUERIES["paragraph_dedup_stats"](spark, SF))
 
     with open(OUT, "w") as f:
         f.write("# EXPLAIN — physical-plan audit\n\n")
