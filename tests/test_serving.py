@@ -11,6 +11,34 @@ from codedup.stages.report import (
 )
 
 
+def test_cli_query_runner():
+    """`python -m codedup query <name>` serves any catalog query as
+    JSON lines; 'list' enumerates the catalog; unknown names error."""
+    import json
+    import subprocess
+    import sys
+
+    def run(*args):
+        return subprocess.run(
+            [sys.executable, "-m", "codedup", "query", *args],
+            capture_output=True, text=True, cwd="/root/repo", timeout=300,
+        )
+
+    listed = run("list")
+    assert listed.returncode == 0
+    names = listed.stdout.split()
+    from codedup.queries import QUERIES
+    assert names == list(QUERIES)
+
+    bad = run("no_such_query")
+    assert bad.returncode == 2 and "unknown query" in bad.stderr
+
+    out = run("pricing_summary", "--master", "local[4]", "--limit", "0")
+    assert out.returncode == 0
+    rows = [json.loads(line) for line in out.stdout.splitlines() if line]
+    assert len(rows) == 6 and {"l_returnflag", "sum_qty"} <= set(rows[0])
+
+
 def test_format_size_python_and_column_agree(spark):
     vals = [0, 17, 1023, 1024, 1536, 1048576, 3 * 1024 ** 3, 5 * 1024 ** 4]
     py = [format_size(v) for v in vals]
