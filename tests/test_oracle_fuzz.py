@@ -22,7 +22,10 @@ _TEXTS = st.lists(st.text(alphabet=_CHARS, max_size=80), min_size=1, max_size=6)
 
 _FUZZED = ["doc_repetition_stats", "paragraph_dedup_stats", "doc_pii_scrub",
            "text_stats", "dedup_minhash_lsh_tokens", "doc_winnowing",
-           "winnowing_pairs", "simhash_tokens", "lang_id_heuristic"]
+           "winnowing_pairs", "simhash_tokens", "lang_id_heuristic",
+           "doc_category_rules", "doc_minhash_fingerprint",
+           "dedup_ngram_jaccard", "dedup_containment", "doc_rarest_terms",
+           "bpe_token_stats"]
 
 _SETTINGS = settings(
     max_examples=4, deadline=None, derandomize=True,
