@@ -279,8 +279,21 @@ def _pairs_spill_dir(sf_dir: str, cfg: DedupConfig) -> str | None:
         stamp = f"{st.st_mtime_ns}:{st.st_size}"
     except OSError:
         return None
-    root = os.environ.get("CODEDUP_QUERY_CACHE_DIR") or os.path.join(
-        tempfile.gettempdir(), "codedup_query_cache")
+    # Per-user default with 0700 (ADVICE r3): a world-shared /tmp path
+    # has a derivable key, so another local user could pre-seed bogus
+    # parquet under pairs_<key>/_SUCCESS and silently poison results.
+    root = os.environ.get("CODEDUP_QUERY_CACHE_DIR")
+    if not root:
+        uid = os.getuid() if hasattr(os, "getuid") else 0
+        base = os.environ.get("XDG_CACHE_HOME") or os.path.join(
+            os.path.expanduser("~"), ".cache")
+        root = os.path.join(base, "codedup_query_cache") \
+            if os.path.isdir(os.path.dirname(base)) or os.path.isdir(base) \
+            else os.path.join(tempfile.gettempdir(), f"codedup_query_cache_u{uid}")
+        try:
+            os.makedirs(root, mode=0o700, exist_ok=True)
+        except OSError:
+            return None
     key = hashlib.sha256(
         f"{os.path.abspath(sf_dir)}|{stamp}|{cfg.fingerprint()}".encode()
     ).hexdigest()[:16]
@@ -1538,15 +1551,11 @@ FROM scored
 """
 
 
-_FEEDBACK_LR_GOLDEN = os.path.join(
-    os.path.dirname(__file__), "..", "fixtures", "golden", "feedback_lr.json")
-
-
 def _feedback_lr() -> dict:
-    import json
+    # package resource, zip-safe (ADVICE r3): ships with --py-files
+    from codedup.golden import load_golden
 
-    with open(_FEEDBACK_LR_GOLDEN) as f:
-        return json.load(f)
+    return load_golden("feedback_lr.json")
 
 
 def q_feedback_model_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1564,12 +1573,17 @@ def q_feedback_model_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
     query carries a value-exact DuckDB oracle (r3; was the last
     rows-only query).  Training reproduction + equivalence to the live
     Spark-ML model are pinned in tests/test_feedback.py."""
+    from codedup.ann import dim_guarded
+
     g = _feedback_lr()
     emb = _t(spark, sf_dir, "embeddings")
     c = ", ".join(repr(x) for x in g["coef"])
     z = (f"aggregate(zip_with(CAST(embedding AS array<double>), array({c}),"
          f" (x, y) -> x * y), 0D, (acc, v) -> acc + v) + ({g['bias']!r})")
-    p6 = F.expr(f"round(1 / (1 + exp(-({z}))), 6)")
+    # dim guard (ADVICE r3): zip_with NULL-pads a wrong-width embedding,
+    # which would send every row to 'review' silently; raise instead
+    p6 = F.expr(dim_guarded(
+        f"round(1 / (1 + exp(-({z}))), 6)", "embedding", len(g["coef"])))
     return emb.select(
         "vec_id",
         F.when(p6 > 0.7, "keep").when(p6 < 0.3, "trash")

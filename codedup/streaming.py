@@ -177,7 +177,33 @@ class IncrementalDedup:
         self._tables = (self.sig_dir, self.bands_dir, self.pairs_dir, self.content_dir)
 
     # --- state access ---
+    def _recover_compaction(self, path: str) -> None:
+        """Repair a compact() interrupted by a crash (ADVICE r3 medium):
+        compact renames the live table aside (``<t>._old``) before the
+        snapshot takes its place, so the live data is ALWAYS present in
+        exactly one of <t> / <t>._old.  If <t> is missing or empty while
+        <t>._old exists, the crash hit between the rename-aside and the
+        snapshot move — restore the original; if <t> is populated, the
+        snapshot landed — the leftovers are garbage.  A leftover
+        ``._compact`` tmp is always garbage (the snapshot is only ever
+        MOVED out of it after a complete write)."""
+        import shutil
+
+        old, tmp = path + "._old", path + "._compact"
+        if os.path.isdir(old):
+            live = os.path.isdir(path) and any(
+                not e.startswith((".", "_")) for e in os.listdir(path))
+            if not live:
+                if os.path.isdir(path):
+                    shutil.rmtree(path)
+                os.rename(old, path)
+            else:
+                shutil.rmtree(old)
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+
     def _read_or_none(self, path: str) -> DataFrame | None:
+        self._recover_compaction(path)
         if not os.path.isdir(path) or not any(
             not e.startswith((".", "_")) for e in os.listdir(path)
         ):
@@ -219,23 +245,33 @@ class IncrementalDedup:
     def compact(self) -> dict:
         """Fold per-batch directories into one snapshot per table;
         returns per-table file counts before/after.  State contents are
-        unchanged (tested)."""
+        unchanged (tested).
+
+        Crash-recoverable (ADVICE r3 medium — the old order deleted the
+        live dir before the snapshot was in place, so a crash inside the
+        window lost the table's entire state): the snapshot is fully
+        written to ``<t>._compact`` first, THEN the live dir is renamed
+        aside to ``<t>._old`` (one atomic rename), the snapshot moves in,
+        and ``._old`` is deleted last.  Every crash point leaves either
+        the original state or the complete snapshot recoverable;
+        _recover_compaction (run before every state read) repairs it."""
         import shutil
 
         stats = {}
         for d in self._tables:
-            df = self._read_or_none(d)
+            df = self._read_or_none(d)   # also runs recovery for d
             if df is None:
                 continue
             before = sum(len(fs) for _, _, fs in os.walk(d))
-            tmp = d + "._compact"
+            tmp, old = d + "._compact", d + "._old"
             df.coalesce(max(self.cfg.shuffle_partitions // 4, 1)) \
                 .write.mode("overwrite").parquet(tmp)
-            shutil.rmtree(d)
+            os.rename(d, old)            # live state parked, atomically
             os.makedirs(d)
             # snapshot lives under batch_id=-1 so the layout stays
             # partition-discoverable next to future batch_id=N writes
             os.rename(tmp, os.path.join(d, "batch_id=-1"))
+            shutil.rmtree(old)           # only after the snapshot is live
             after = sum(len(fs) for _, _, fs in os.walk(d))
             stats[os.path.basename(d)] = {"files_before": before, "files_after": after}
         return stats

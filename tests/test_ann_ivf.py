@@ -56,7 +56,7 @@ def test_ivf_plans_hash_join(spark, ivf):
 
 
 def test_golden_centroids_reproduce(ivf):
-    """The committed quantizer golden (fixtures/golden/ivf_centroids
+    """The committed quantizer golden (codedup/golden/ivf_centroids
     .json) must be exactly what KMeans(seed=42, k=16) trains at sf0.01
     — ties the offline training half to the oracle-checked search half
     (tools/make_ivf_centroids.py regenerates on intended change)."""

@@ -100,3 +100,44 @@ def test_probe_hamming_zero_prunes_harder(spark):
     assert full.equals(_pdf(q_ann_topk_cosine(spark, SF)))
     with pytest.raises(ValueError):
         q_ann_lsh_bucketed(spark, SF, AnnParams(probe_hamming=3)).count()
+
+
+# --- dimension guard (ADVICE r3) -----------------------------------------
+
+def _write_bad_dim_tables(tmp_path):
+    """An sf_dir whose embeddings are 3-dim (pinned models are 64-dim)."""
+    import pandas as pd
+
+    d = tmp_path / "bad_sf"
+    d.mkdir()
+    pd.DataFrame({
+        "vec_id": [1, 2, 3],
+        "label": [0, 1, 2],
+        "embedding": [[0.1, 0.2, 0.3]] * 3,
+    }).to_parquet(str(d / "embeddings.parquet"), index=False)
+    return str(d)
+
+
+def test_feedback_scoring_raises_on_dim_mismatch(spark, tmp_path):
+    """zip_with NULL-pads a wrong-width embedding; without the guard
+    every row silently lands in 'review'.  It must raise instead."""
+    import pytest as _pytest
+
+    from codedup.queries import q_feedback_model_predictions
+
+    bad = _write_bad_dim_tables(tmp_path)
+    with _pytest.raises(Exception, match="embedding dim"):
+        # collect, not count: count() prunes every column incl. the guard
+        q_feedback_model_predictions(spark, bad).collect()
+
+
+def test_ivf_assignment_raises_on_dim_mismatch(spark, tmp_path):
+    """Same hazard for the pinned 64-dim IVF centroids (semantic_dedup
+    and ann_ivf_topk both assign through _ranked_cells)."""
+    import pytest as _pytest
+
+    from codedup.queries import q_semantic_dedup
+
+    bad = _write_bad_dim_tables(tmp_path)
+    with _pytest.raises(Exception, match="embedding dim"):
+        q_semantic_dedup(spark, bad).count()

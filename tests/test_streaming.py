@@ -228,3 +228,72 @@ def test_stateful_user_totals_accumulate_across_batches(spark, tmp_path):
     assert (abs(merged.sum_value_g - merged.sum_value_w) < 0.02).all()
     # state actually crossed batches: some user emitted twice
     assert got_all.user_id.duplicated().any()
+
+
+# --- compact() crash recovery (ADVICE r3 medium) -------------------------
+
+def _pair_set(inc):
+    df = inc.pairs().toPandas()
+    return set(zip(df.a, df.b))
+
+
+@pytest.fixture()
+def committed_stream(spark, drops, cfg, tmp_path):
+    """Three committed batches, auto-compaction off; returns (inc, pairs)."""
+    inc = IncrementalDedup(spark, str(tmp_path / "w"), cfg, compact_every=None)
+    for i, p in enumerate(drops["paths"]):
+        inc.process_batch(spark.read.parquet(p), i)
+    return inc, _pair_set(inc)
+
+
+def test_compact_crash_before_snapshot_move_restores_state(committed_stream):
+    """Crash window: live dir renamed aside, snapshot not yet in place.
+    The old compact() order (rmtree live, then rename snapshot) lost the
+    whole table here; the rename-aside order must restore it."""
+    inc, want = committed_stream
+    assert want, "fixture must produce pairs"
+    d = inc.pairs_dir
+    os.rename(d, d + "._old")                      # crash right after rename-aside
+    os.makedirs(d + "._compact")                   # half-written snapshot tmp
+    with open(os.path.join(d + "._compact", "part-junk.parquet"), "w") as f:
+        f.write("not parquet")
+    assert _pair_set(inc) == want                  # recovery restored ._old
+    assert not os.path.isdir(d + "._old") and not os.path.isdir(d + "._compact")
+
+
+def test_compact_crash_with_empty_live_dir_restores_state(committed_stream):
+    """Crash one step later: empty live dir recreated, snapshot still in
+    tmp.  The empty dir must not shadow the parked state."""
+    inc, want = committed_stream
+    d = inc.pairs_dir
+    os.rename(d, d + "._old")
+    os.makedirs(d)                                 # crash after makedirs
+    assert _pair_set(inc) == want
+    assert not os.path.isdir(d + "._old")
+
+
+def test_compact_crash_after_snapshot_live_drops_leftover(committed_stream):
+    """Crash after the snapshot moved in but before ._old cleanup: the
+    snapshot wins, the parked copy is garbage-collected, content equal."""
+    import shutil
+
+    inc, want = committed_stream
+    inc.compact()                                  # snapshot now live
+    d = inc.pairs_dir
+    shutil.copytree(d, d + "._old")                # simulate un-deleted parked dir
+    assert _pair_set(inc) == want
+    assert not os.path.isdir(d + "._old")
+
+
+def test_compact_survives_crash_replay_loop(committed_stream, spark, drops):
+    """compact -> simulated crash -> recovery -> compact again -> new
+    batch: end-to-end the state is never lost or duplicated."""
+    inc, want = committed_stream
+    d = inc.pairs_dir
+    os.rename(d, d + "._old")                      # crash mid-compact
+    assert _pair_set(inc) == want                  # recovered
+    inc.compact()                                  # clean compact succeeds
+    assert _pair_set(inc) == want
+    # replayed batch after all that is still a no-op
+    inc.process_batch(spark.read.parquet(drops["paths"][0]), 0)
+    assert _pair_set(inc) == want

@@ -1,5 +1,5 @@
 """Train the IVF coarse quantizer once and pin its centroids as a
-committed golden (fixtures/golden/ivf_centroids.json).
+committed golden (codedup/golden/ivf_centroids.json).
 
 This is the production IVF shape (e.g. faiss): the quantizer is trained
 OFFLINE on a sample, and searches ship the centroid matrix — they never
@@ -20,7 +20,7 @@ import sys
 
 sys.path.insert(0, ".")
 
-OUT = os.path.join(os.path.dirname(__file__), "..", "fixtures", "golden",
+OUT = os.path.join(os.path.dirname(__file__), "..", "codedup", "golden",
                    "ivf_centroids.json")
 
 

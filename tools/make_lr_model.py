@@ -1,5 +1,5 @@
 """Train the preference LR once and pin its scoring function as a
-committed golden (fixtures/golden/feedback_lr.json) — the same
+committed golden (codedup/golden/feedback_lr.json) — the same
 offline-training pattern as the IVF quantizer (make_ivf_centroids.py):
 the iterative optimizer runs here, and the catalog query becomes a
 deterministic relational scoring pass both engines can compute, so
@@ -23,7 +23,7 @@ import sys
 
 sys.path.insert(0, ".")
 
-OUT = os.path.join(os.path.dirname(__file__), "..", "fixtures", "golden",
+OUT = os.path.join(os.path.dirname(__file__), "..", "codedup", "golden",
                    "feedback_lr.json")
 
 
