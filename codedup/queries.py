@@ -250,24 +250,37 @@ _PAIRS_CACHE_CAP = 8
 
 
 def clear_pairs_cache() -> None:
-    """Drop all in-memory pair materializations (long-lived sessions
-    sweeping many corpora/configs; checkpointed blocks are freed by the
-    ContextCleaner once unreferenced)."""
+    """Drop all in-memory materializations (long-lived sessions sweeping
+    many corpora/configs; checkpointed blocks are freed by the
+    ContextCleaner once unreferenced, .cache()d plans are unpersisted
+    here because the CacheManager would otherwise pin them forever)."""
+    for df in _PAIRS_CACHE.values():
+        _unpersist_quiet(df)
     _PAIRS_CACHE.clear()
+
+
+def _unpersist_quiet(df: DataFrame) -> None:
+    try:
+        df.unpersist()               # no-op for non-cached frames
+    except Exception:
+        pass                         # dead session
 
 
 def _cache_put(key: tuple[str, str, str], df: DataFrame) -> None:
     for k in [k for k in _PAIRS_CACHE if k[0] != key[0]]:
         del _PAIRS_CACHE[k]          # other sessions' dead references
     while len(_PAIRS_CACHE) >= _PAIRS_CACHE_CAP:
-        del _PAIRS_CACHE[next(iter(_PAIRS_CACHE))]   # oldest first
+        oldest = next(iter(_PAIRS_CACHE))
+        _unpersist_quiet(_PAIRS_CACHE.pop(oldest))
     _PAIRS_CACHE[key] = df
 
 
-def _pairs_spill_dir(sf_dir: str, cfg: DedupConfig) -> str | None:
-    """Cross-session spill location, or None when disabled.  The key
-    binds the corpus CONTENT (source file mtime+size), not just its
-    path, so a regenerated corpus never reads a stale spill."""
+def _spill_path(sf_dir: str, prefix: str, extra: str) -> str | None:
+    """Cross-session spill location for a materialized intermediate, or
+    None when disabled.  The key binds the corpus CONTENT (source file
+    mtime+size), not just its path, so a regenerated corpus never reads
+    a stale spill; ``extra`` binds whatever parameters shaped the
+    artifact (config fingerprint, winnow constants, ...)."""
     import hashlib
     import tempfile
 
@@ -295,9 +308,33 @@ def _pairs_spill_dir(sf_dir: str, cfg: DedupConfig) -> str | None:
         except OSError:
             return None
     key = hashlib.sha256(
-        f"{os.path.abspath(sf_dir)}|{stamp}|{cfg.fingerprint()}".encode()
+        f"{os.path.abspath(sf_dir)}|{stamp}|{extra}".encode()
     ).hexdigest()[:16]
-    return os.path.join(root, f"pairs_{key}")
+    return os.path.join(root, f"{prefix}_{key}")
+
+
+def _pairs_spill_dir(sf_dir: str, cfg: DedupConfig) -> str | None:
+    return _spill_path(sf_dir, "pairs", cfg.fingerprint())
+
+
+def _publish_spill(spark: SparkSession, out: DataFrame, spill: str) -> DataFrame:
+    """Atomic spill publish: write to a pid-suffixed tmp dir, rename
+    into place (a concurrent winner's spill is left untouched), and
+    reread from the spill so this session serves the exact bytes future
+    sessions will read (schema identity)."""
+    import shutil
+
+    tmp = f"{spill}.tmp-{os.getpid()}"
+    try:
+        out.write.mode("overwrite").parquet(tmp)
+        if not os.path.exists(spill):
+            os.rename(tmp, spill)
+        else:
+            shutil.rmtree(tmp, ignore_errors=True)
+        out = spark.read.parquet(spill).localCheckpoint(eager=True)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
 
 
 def _minhash_pipeline_pairs(spark: SparkSession, sf_dir: str, cfg: DedupConfig) -> DataFrame:
@@ -365,22 +402,7 @@ def _minhash_pipeline_pairs(spark: SparkSession, sf_dir: str, cfg: DedupConfig) 
     )
     out = cross.unionByName(intra).localCheckpoint(eager=True)
     if spill is not None:
-        # atomic publish: write to a pid-suffixed tmp dir, rename into
-        # place; a concurrent winner's spill is left untouched
-        import shutil
-
-        tmp = f"{spill}.tmp-{os.getpid()}"
-        try:
-            out.write.mode("overwrite").parquet(tmp)
-            if not os.path.exists(spill):
-                os.rename(tmp, spill)
-            else:
-                shutil.rmtree(tmp, ignore_errors=True)
-            # reread from the spill so the session serves the exact
-            # bytes future sessions will read (schema identity)
-            out = spark.read.parquet(spill).localCheckpoint(eager=True)
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)
+        out = _publish_spill(spark, out, spill)
     _cache_put(cache_key, out)
     return out
 
@@ -1069,16 +1091,30 @@ def q_doc_minhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 WINNOW_W = 4  # winnowing window: guarantee = matches of length k+W-1 detected
 
 
-def q_doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
-    SIGMOD'03 — the MOSS algorithm): hash every POSITIONAL char k-gram
-    (duplicates kept, unlike the set-based queries), slide a window of
-    W consecutive hashes, keep each window's minimum; the distinct
-    minima are the document's fingerprints.  Guarantees any shared
-    substring of length >= k+W-1 yields a shared fingerprint, with
-    ~2/(W+1) selectivity.  Fully relational: posexplode + a
-    rows-between window min + distinct — no UDF; the portable md5-60bit
-    hash makes the oracle exact."""
+def _winnowing_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distinct winnowing fingerprint set (doc_id, fp) — the shared
+    artifact behind doc_winnowing AND winnowing_pairs (VERDICT r3 #3:
+    each query rebuilt the full posexplode-grams + window-min set from
+    scratch; together they were the two heaviest catalog entries).
+    Materialized once per (session, corpus) with the same two-layer
+    reuse as the verified-pair table (_PAIRS_CACHE: in-memory within a
+    session, parquet spill across sessions, CODEDUP_QUERY_CACHE=off
+    disables the spill so bench timings measure real compute).
+
+    The positional-gram explode is the inherent cost (~len(text) rows
+    per doc); everything downstream of the distinct is cheap, which is
+    exactly why this is the right materialization boundary — it is also
+    the reusable artifact a 100 TB MOSS-style index would persist."""
+    cache_key = (spark.sparkContext.applicationId, sf_dir,
+                 f"winfp:k{NGRAM_K}w{WINNOW_W}")
+    cached = _PAIRS_CACHE.get(cache_key)
+    if cached is not None:
+        return cached
+    spill = _spill_path(sf_dir, "winfp", f"k{NGRAM_K}w{WINNOW_W}")
+    if spill is not None and os.path.exists(os.path.join(spill, "_SUCCESS")):
+        out = spark.read.parquet(spill)
+        _cache_put(cache_key, out)
+        return out
     docs = _t(spark, sf_dir, "documents")
     grams = docs.select(
         "doc_id",
@@ -1095,8 +1131,33 @@ def q_doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         # single all-grams window (pos 0)
         (F.col("pos") <= n_grams - WINNOW_W) | (F.col("pos") == 0)
     )
+    out = wind.select("doc_id", "fp").distinct()
+    if spill is not None:
+        out = _publish_spill(spark, out.localCheckpoint(eager=True), spill)
+    else:
+        # .cache(), not localCheckpoint: the first consumer (usually
+        # doc_winnowing's agg) materializes the block store WHILE it
+        # runs — no separate write pass — and winnowing_pairs' three
+        # consumers (df count + both self-join sides) read the cached
+        # blocks instead of re-exploding the grams
+        out = out.cache()
+    _cache_put(cache_key, out)
+    return out
+
+
+def q_doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every POSITIONAL char k-gram
+    (duplicates kept, unlike the set-based queries), slide a window of
+    W consecutive hashes, keep each window's minimum; the distinct
+    minima are the document's fingerprints.  Guarantees any shared
+    substring of length >= k+W-1 yields a shared fingerprint, with
+    ~2/(W+1) selectivity.  Fully relational: posexplode + a
+    rows-between window min + distinct — no UDF; the portable md5-60bit
+    hash makes the oracle exact.  The fingerprint set itself is the
+    shared materialization _winnowing_fps."""
     return (
-        wind.select("doc_id", "fp").distinct()
+        _winnowing_fps(spark, sf_dir)
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_fingerprints"),
              F.min("fp").alias("fp_min"),
@@ -1119,24 +1180,9 @@ def q_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint in f docs would otherwise fan out f^2 pair rows; with
     the cap every fingerprint's fan-out is bounded by MAX_DF^2 and the
     self-join stays an equi-join on fp.  Output (a, b, n_shared),
-    integer-only."""
-    docs = _t(spark, sf_dir, "documents")
-    grams = docs.select(
-        "doc_id",
-        F.length("text").alias("_len"),
-        F.posexplode(
-            F.expr(f"transform(sequence(1, greatest(length(text)-{NGRAM_K - 1}, 1)),"
-                   f" i -> substring(text, i, {NGRAM_K}))")
-        ).alias("pos", "g"),
-    ).withColumn("hv", F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("long"))
-    n_grams = F.greatest(F.col("_len") - F.lit(NGRAM_K - 1), F.lit(1))
-    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, WINNOW_W - 1)
-    fps = (
-        grams.withColumn("fp", F.min("hv").over(w))
-        .filter((F.col("pos") <= n_grams - WINNOW_W) | (F.col("pos") == 0))
-        .select("doc_id", "fp").distinct()
-        .localCheckpoint(eager=True)   # feeds the df count + both join sides
-    )
+    integer-only.  Shares the fingerprint materialization with
+    doc_winnowing (_winnowing_fps)."""
+    fps = _winnowing_fps(spark, sf_dir)
     rare = fps.join(
         fps.groupBy("fp").count().filter(F.col("count") <= WINNOW_MAX_DF).select("fp"),
         "fp", "left_semi",
