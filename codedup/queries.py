@@ -2066,6 +2066,97 @@ FROM documents d LEFT JOIN per_doc p USING (doc_id)
 """
 
 
+def paragraph_dedup_apply_frame(docs: DataFrame) -> DataFrame:
+    """The sub-document dedup TRANSFORM (CCNet, Wenzek et al. 2019,
+    arXiv:1911.00359; RefinedWeb, Penedo et al. 2023, arXiv:2306.01116):
+    where paragraph_dedup_stats only MEASURES duplicated-paragraph mass,
+    this emits the cleaned text — every paragraph that appears in >= 2
+    distinct documents is kept only in its OWNER doc (the minimum doc_id
+    containing it, the deterministic keep-first policy) and dropped from
+    all others.  Paragraphs are the same unit as the stats query (runs
+    of >= 2 newlines, trimmed, non-empty); the cleaned text re-joins the
+    kept paragraphs in original order with a blank line.
+
+    Shape at scale: the paragraph TEXT shuffles once (to the hash join
+    against the ownership table); ownership itself aggregates hashes
+    only — the same two-hash-shuffle discipline as the stats query.
+
+    Returns (doc_id, n_paras, n_kept, new_text)."""
+    paras = ("filter(transform(split(text, '\\n{2,}'), x -> trim(x)),"
+             " x -> x != '')")
+    pe = docs.select(
+        "doc_id",
+        F.posexplode_outer(F.expr(paras)).alias("pos", "p"),
+    ).withColumn("hv", F.conv(F.substring(F.md5("p"), 1, 15), 16, 10).cast("long"))
+    own = (
+        pe.filter(F.col("p").isNotNull())
+        .select("doc_id", "hv").distinct()
+        .groupBy("hv")
+        .agg(F.count(F.lit(1)).alias("df"), F.min("doc_id").alias("owner"))
+    )
+    kept_flag = (F.col("df") < 2) | (F.col("owner") == F.col("doc_id"))
+    joined = pe.join(own, "hv", "left")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count("p").cast("long").alias("n_paras"),
+            F.count(F.when(kept_flag, 1)).cast("long").alias("n_kept"),
+            F.concat_ws(
+                "\n\n",
+                F.expr("transform(array_sort(collect_list(CASE WHEN "
+                       "(df < 2 OR owner = doc_id) THEN struct(pos, p) END)),"
+                       " x -> x.p)"),
+            ).alias("new_text"),
+        )
+    )
+
+
+def q_paragraph_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """paragraph_dedup_apply_frame over the documents table, with the
+    transform pinned byte-for-byte via sha256 of the cleaned text (the
+    same pin discipline as doc_pii_scrub) — the oracle verifies the
+    REMOVAL, not just the counts."""
+    docs = _t(spark, sf_dir, "documents")
+    out = paragraph_dedup_apply_frame(docs)
+    return out.select(
+        "doc_id", "n_paras", "n_kept",
+        F.sha2("new_text", 256).alias("new_sha"),
+    )
+
+
+SQL_PARAGRAPH_DEDUP_APPLY = """
+WITH pe AS (
+  SELECT doc_id, i AS pos, l[i] AS p,
+         ('0x' || substr(md5(l[i]), 1, 15))::BIGINT AS hv
+  FROM (SELECT doc_id,
+               list_filter(list_transform(string_split_regex(text, '\\n{2,}'),
+                                          x -> trim(x)), x -> x <> '') AS l
+        FROM documents),
+       LATERAL (SELECT unnest(generate_series(1, len(l))) AS i) t
+), own AS (
+  SELECT hv, count(*) AS df, min(doc_id) AS owner
+  FROM (SELECT DISTINCT doc_id, hv FROM pe)
+  GROUP BY 1
+), kept AS (
+  SELECT pe.doc_id, pe.pos, pe.p,
+         (o.df < 2 OR o.owner = pe.doc_id) AS keep
+  FROM pe JOIN own o USING (hv)
+), agg AS (
+  SELECT doc_id, count(*) AS n_paras,
+         count(CASE WHEN keep THEN 1 END) AS n_kept,
+         coalesce(string_agg(CASE WHEN keep THEN p END, chr(10) || chr(10)
+                             ORDER BY pos), '') AS new_text
+  FROM kept
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(a.n_paras, 0)::BIGINT AS n_paras,
+       coalesce(a.n_kept, 0)::BIGINT AS n_kept,
+       sha256(coalesce(a.new_text, '')) AS new_sha
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str,
                      params: AnnParams = DEFAULT_ANN) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
@@ -2304,6 +2395,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_dedup": q_semantic_dedup,
     "doc_repetition_stats": q_doc_repetition_stats,
     "paragraph_dedup_stats": q_paragraph_dedup_stats,
+    "paragraph_dedup_apply": q_paragraph_dedup_apply,
     "doc_pii_scrub": q_doc_pii_scrub,
     "pricing_summary": q_pricing_summary,
     "top_orders_per_customer": q_top_orders_per_customer,
@@ -2346,6 +2438,7 @@ ORACLES: dict[str, str] = {
     "semantic_dedup": SQL_SEMANTIC_DEDUP,
     "doc_repetition_stats": SQL_DOC_REPETITION_STATS,
     "paragraph_dedup_stats": SQL_PARAGRAPH_DEDUP_STATS,
+    "paragraph_dedup_apply": SQL_PARAGRAPH_DEDUP_APPLY,
     "doc_pii_scrub": SQL_DOC_PII_SCRUB,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "top_orders_per_customer": SQL_TOP_ORDERS_PER_CUSTOMER,
