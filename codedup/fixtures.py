@@ -143,13 +143,20 @@ TIERS = {"tiny": 120, "small": 2600, "bench": 100_000}
 
 
 def generate_corpus(tier: str = "tiny", seed: int = 42, n_base: int | None = None,
-                    shingle_k: int = 9) -> dict[str, pd.DataFrame]:
+                    shingle_k: int = 9, n_hot_family: int = 0) -> dict[str, pd.DataFrame]:
     """Build the corpus.  Returns {'files', 'truth_pairs', 'truth_clusters'}.
 
     Composition per FIXTURES.md §3: base population + exact copies +
     near-dup mutated copies + hard negatives (same template family,
     different vocab) + skew pathology (license header on ~30% of
     families; one vendored file copied near-exactly across many repos).
+
+    ``n_hot_family`` > 0 additionally injects the adversarial vendored-
+    boilerplate pathology (SURVEY §4.2.2, VERDICT r3 #5): that many
+    near-identical variants of ONE boilerplate file, spread across
+    repos — every variant lands in the same LSH band buckets, so an
+    unguarded candidate join would fan out n_hot_family^2 pairs.  All
+    variants are truth near-dups of the master (one truth cluster).
     """
     n_base = n_base if n_base is not None else TIERS[tier]
     rng = np.random.default_rng(seed)
@@ -231,6 +238,22 @@ def generate_corpus(tier: str = "tiny", seed: int = 42, n_base: int | None = Non
         d = emit(f"org{c % 37:04d}/repo{c:04d}", f"third_party/libfoo_{c}.cc", "cpp", vmut)
         pairs.append((*sorted([vendor_master.key, d.key]), "near", "vendored", jacc(vt, vmut)))
 
+    # --- adversarial hot family (opt-in): one boilerplate, many repos ---
+    if n_hot_family:
+        hot_rng = np.random.default_rng(seed + 13)
+        ht = _render(_template_lines(hot_rng, "text", 40),
+                     [_ident(hot_rng) for _ in range(10)])
+        hot_master = emit("org0002/repo0002", "legal/NOTICE_0.txt", "text", ht)
+        for c in range(1, n_hot_family):
+            hm = _mut_ws(hot_rng, ht) if hot_rng.random() < 0.7 else _mut_insert(hot_rng, ht)
+            j = jacc(ht, hm)
+            if j < 0.86:          # keep truth above the LSH s-curve floor
+                hm = _mut_ws(hot_rng, ht)
+                j = jacc(ht, hm)
+            d = emit(f"org{c % 37:04d}/repo{(c * 7) % 9973:04d}",
+                     f"legal/NOTICE_{c}.txt", "text", hm)
+            pairs.append((*sorted([hot_master.key, d.key]), "near", "hot_family", j))
+
     # --- tables, stable order ---
     files = pd.DataFrame(
         [(e.repo, e.path, e.commit, e.lang, e.content) for e in emitted],
@@ -269,13 +292,87 @@ def _closure(truth_pairs: pd.DataFrame) -> pd.DataFrame:
     return out[["key", "truth_cluster_id"]]
 
 
+def generate_embeddings(n: int, dim: int = 64, seed: int = 42,
+                        n_latent: int = 200, dup_frac: float = 0.05,
+                        ) -> dict[str, pd.DataFrame]:
+    """Deterministic embedding corpus with planted near-dup structure,
+    for the ANN/SemDeDup scale tiers (VERDICT r3 missing #1: every
+    embedding operator was proven only at 2,000 sf-table vectors).
+
+    Structure: vectors are drawn around ``n_latent`` latent cluster
+    centers (so an IVF coarse quantizer has real cells to find), and
+    ``dup_frac`` of them get one near-duplicate copy (small additive
+    noise, cosine >= ~0.99) — the planted truth for recall/drop-rate
+    accounting.  Pure function of (n, dim, seed); float32; generation
+    is chunked numpy so 10^6 x 64 stays ~300 MB.
+
+    Returns {'embeddings': (vec_id, label, embedding),
+             'truth_dups':  (a, b) planted near-dup pairs}."""
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((n_latent, dim)).astype(np.float32) * 4.0
+    n_dups = int(n * dup_frac)
+    n_base_v = n - n_dups
+
+    assign = rng.integers(0, n_latent, n_base_v)
+    base = centers[assign] + rng.standard_normal((n_base_v, dim)).astype(np.float32)
+    # planted near-dups: copy of a base vector + tiny noise (cos ~0.999)
+    src = rng.choice(n_base_v, size=n_dups, replace=False)
+    dups = base[src] + 0.05 * rng.standard_normal((n_dups, dim)).astype(np.float32)
+
+    emb = np.concatenate([base, dups]).astype(np.float32)
+    labels = np.concatenate([assign % 10, assign[src] % 10]).astype(np.int64)
+    vec_ids = np.arange(n, dtype=np.int64)
+    truth = pd.DataFrame({
+        "a": src.astype(np.int64),
+        "b": (n_base_v + np.arange(n_dups)).astype(np.int64),
+    }).sort_values(["a", "b"], ignore_index=True)
+    table = pd.DataFrame({
+        "vec_id": vec_ids,
+        "label": labels,
+        "embedding": list(emb),   # pandas holds row views; pyarrow writes list<float>
+    })
+    return {"embeddings": table, "truth_dups": truth}
+
+
+def write_embeddings(out_dir: str, n: int, dim: int = 64, seed: int = 42,
+                     **kw) -> dict[str, str]:
+    """Materialize the embedding tier to parquet (chunked writer: the
+    1M-row list column is written in row groups, never one giant
+    buffer).  Returns {table: path}."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    tables = generate_embeddings(n, dim=dim, seed=seed, **kw)
+    paths = {}
+    for name, pdf in tables.items():
+        p = f"{out_dir}/{name}.parquet"
+        if name == "embeddings":
+            schema = pa.schema([
+                ("vec_id", pa.int64()), ("label", pa.int64()),
+                ("embedding", pa.list_(pa.float32())),
+            ])
+            with pq.ParquetWriter(p, schema) as w:
+                for lo in range(0, len(pdf), 100_000):
+                    chunk = pdf.iloc[lo:lo + 100_000]
+                    w.write_table(pa.Table.from_pandas(chunk, schema=schema,
+                                                       preserve_index=False))
+        else:
+            pdf.to_parquet(p, index=False)
+        paths[name] = p
+    return paths
+
+
 def write_corpus(out_dir: str, tier: str = "tiny", seed: int = 42,
-                 n_base: int | None = None) -> dict[str, str]:
+                 n_base: int | None = None, n_hot_family: int = 0) -> dict[str, str]:
     """Materialize to parquet; returns {table: path}."""
     import os
 
     os.makedirs(out_dir, exist_ok=True)
-    tables = generate_corpus(tier=tier, seed=seed, n_base=n_base)
+    tables = generate_corpus(tier=tier, seed=seed, n_base=n_base,
+                             n_hot_family=n_hot_family)
     paths = {}
     for name, pdf in tables.items():
         p = f"{out_dir}/{name}.parquet"

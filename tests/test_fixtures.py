@@ -37,3 +37,25 @@ def test_truth_closure_is_transitive(tiny):
     cid = dict(zip(tc.key, tc.truth_cluster_id))
     for _, r in tp.iterrows():
         assert cid[r.a] == cid[r.b]
+
+
+def test_hot_family_injection():
+    """n_hot_family plants the vendored-boilerplate pathology: that many
+    near-identical variants, all truth near-dups of one master, all
+    above the LSH s-curve floor (SURVEY §4.2.2, VERDICT r3 #5)."""
+    from codedup.fixtures import generate_corpus
+
+    base = generate_corpus("tiny", seed=42)
+    hot = generate_corpus("tiny", seed=42, n_hot_family=50)
+    assert len(hot["files"]) == len(base["files"]) + 50
+    fam = hot["truth_pairs"][hot["truth_pairs"].mutation == "hot_family"]
+    assert len(fam) == 49                      # master x 49 variants
+    assert (fam.expected_jaccard >= 0.86).all()
+    # one truth cluster holds the whole family
+    keys = set(fam.a) | set(fam.b)
+    tc = hot["truth_clusters"]
+    cids = tc[tc.key.isin(keys)].truth_cluster_id.unique()
+    assert len(cids) == 1
+    # determinism
+    again = generate_corpus("tiny", seed=42, n_hot_family=50)
+    assert hot["files"].equals(again["files"])

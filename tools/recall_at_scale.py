@@ -1,6 +1,12 @@
 """Recall/precision vs constructed truth at bench scale.
 
 Usage: python tools/recall_at_scale.py <corpus_dir> [work_dir] [cores]
+           [--margin M] [--lcs-cap N]
+
+--margin / --lcs-cap override DedupConfig.minhash_prefilter_margin and
+.lcs_max_chars — the two verify-stage budget knobs (VERDICT r3 #1:
+verify is ~70% of large-tier wall; tools/sweep_verify.py drives this
+script across a margin x cap grid and reports verify wall vs recall).
 
 corpus_dir must contain files.parquet + truth_clusters.parquet (written
 by codedup.fixtures.write_corpus).  Runs the pipeline (resuming from
@@ -40,15 +46,25 @@ def co_pairs(df, key_col: str, cid_col: str):
 
 
 def main() -> int:
-    corpus = sys.argv[1]
-    work = sys.argv[2] if len(sys.argv) > 2 else None
-    cores = sys.argv[3] if len(sys.argv) > 3 else "32"
+    argv = list(sys.argv[1:])
+    kw = {}
+    if "--margin" in argv:
+        i = argv.index("--margin")
+        kw["minhash_prefilter_margin"] = float(argv[i + 1])
+        del argv[i:i + 2]
+    if "--lcs-cap" in argv:
+        i = argv.index("--lcs-cap")
+        kw["lcs_max_chars"] = int(argv[i + 1])
+        del argv[i:i + 2]
+    corpus = argv[0]
+    work = argv[1] if len(argv) > 1 else None
+    cores = argv[2] if len(argv) > 2 else "32"
 
     from codedup import pipeline
     from codedup.config import DedupConfig
     from codedup.session import build_session
 
-    cfg = DedupConfig(shuffle_partitions=128)
+    cfg = DedupConfig(shuffle_partitions=128, **kw)
     spark = build_session(f"local[{cores}]", app_name="recall-at-scale",
                           shuffle_partitions=128)
     spark.sparkContext.setLogLevel("ERROR")
@@ -79,6 +95,8 @@ def main() -> int:
 
     print(json.dumps({
         "files": n,
+        "margin": cfg.minhash_prefilter_margin,
+        "lcs_cap": cfg.lcs_max_chars,
         "wall_s": round(wall, 1),
         "files_per_sec": round(n / wall, 1),
         "truth_pairs": n_truth,

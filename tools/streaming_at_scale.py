@@ -1,0 +1,141 @@
+"""Streaming == batch at a real tier (VERDICT r3 #4).
+
+The reference's core promise is incremental resume (cache.py:20-26);
+the streaming twin (IncrementalDedup) had replay/crash/compaction tests
+only at toy scale.  This runs the 355k-file bench corpus through
+IncrementalDedup in ~N_BATCHES ordered drops, then asserts the
+cumulative verified pair set equals the BATCH pipeline's pair set
+byte-for-byte at the content level (streaming elects first-seen
+representatives, batch elects min-file_id — sha256 pairs are the
+invariant), and reports per-batch wall + state size so compaction's
+growth bound is visible.
+
+Prints one JSON line; feeds the streaming section of BENCH/BASELINE.md.
+
+Usage: python tools/streaming_at_scale.py <corpus_dir> [n_batches]
+       [cores] [--work DIR]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+
+def dir_size(path: str) -> int:
+    total = 0
+    for dirpath, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(dirpath, f))
+            except OSError:
+                pass
+    return total
+
+
+def main() -> int:
+    argv = list(sys.argv[1:])
+    work_root = None
+    if "--work" in argv:
+        i = argv.index("--work")
+        work_root = argv[i + 1]
+        del argv[i:i + 2]
+    corpus = argv[0]
+    n_batches = int(argv[1]) if len(argv) > 1 else 20
+    cores = argv[2] if len(argv) > 2 else "32"
+
+    from pyspark.sql import functions as F
+
+    from codedup import pipeline
+    from codedup.config import DedupConfig
+    from codedup.session import build_session
+    from codedup.streaming import IncrementalDedup
+
+    cfg = DedupConfig(shuffle_partitions=128)
+    spark = build_session(f"local[{cores}]", app_name="streaming-at-scale",
+                          shuffle_partitions=128)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    tmp = work_root or tempfile.mkdtemp(prefix="stream_scale_")
+    drops_dir = os.path.join(tmp, "drops")
+    stream_work = os.path.join(tmp, "stream_work")
+    batch_work = os.path.join(tmp, "batch_work")
+
+    files = spark.read.parquet(f"{corpus}/files.parquet")
+    n_files = files.count()
+
+    # ordered drops: split by a deterministic hash so every batch mixes
+    # repos (the arrival pattern a crawler produces)
+    if not os.path.isdir(drops_dir):
+        os.makedirs(drops_dir)
+        bucket = (F.abs(F.xxhash64("repo", "path", "commit")) % n_batches)
+        staged = files.withColumn("_b", bucket).localCheckpoint(eager=True)
+        for b in range(n_batches):
+            staged.filter(F.col("_b") == b).drop("_b").coalesce(4) \
+                .write.mode("overwrite").parquet(os.path.join(drops_dir, f"d{b:03d}"))
+
+    inc = IncrementalDedup(spark, stream_work, cfg, compact_every=8)
+    batch_walls, state_sizes = [], []
+    t_stream0 = time.time()
+    for b in range(n_batches):
+        t0 = time.time()
+        inc.process_batch(spark.read.parquet(os.path.join(drops_dir, f"d{b:03d}")), b)
+        batch_walls.append(round(time.time() - t0, 1))
+        state_sizes.append(dir_size(inc.root))
+        print(f"# batch {b}: {batch_walls[-1]}s state={state_sizes[-1]/1e6:.0f}MB",
+              file=sys.stderr, flush=True)
+    stream_wall = time.time() - t_stream0
+
+    # batch pipeline over the SAME corpus
+    t0 = time.time()
+    res = pipeline.run(spark, [f"{corpus}/files.parquet"], cfg,
+                       work_dir=batch_work, run_id="b", resume=False)
+    batch_wall = time.time() - t0
+
+    # compare at the content level, entirely in Spark (sha pairs)
+    def sha_pairs(pairs_df, fp_df):
+        sh = fp_df.select("file_id", "sha256")
+        return (
+            pairs_df.filter(F.col("kind") != "fault")
+            .join(sh.select(F.col("file_id").alias("a"), F.col("sha256").alias("sa")), "a")
+            .join(sh.select(F.col("file_id").alias("b"), F.col("sha256").alias("sb")), "b")
+            .select(F.least("sa", "sb").alias("x"), F.greatest("sa", "sb").alias("y"))
+            .distinct()
+        )
+
+    from codedup.stages.fingerprint import fingerprint
+
+    stream_fp = fingerprint(files).localCheckpoint(eager=True)
+    got = sha_pairs(inc.pairs(), stream_fp).localCheckpoint(eager=True)
+    want = sha_pairs(res.verified, res.fingerprints).localCheckpoint(eager=True)
+    n_got, n_want = got.count(), want.count()
+    n_inter = got.join(want, ["x", "y"], "left_semi").count()
+    equal = n_got == n_want == n_inter
+
+    print(json.dumps({
+        "files": n_files,
+        "n_batches": n_batches,
+        "stream_wall_s": round(stream_wall, 1),
+        "batch_wall_s": round(batch_wall, 1),
+        "stream_files_per_sec": round(n_files / stream_wall, 1),
+        "batch_files_per_sec": round(n_files / batch_wall, 1),
+        "pairs_stream": n_got, "pairs_batch": n_want,
+        "pair_sets_equal": equal,
+        "batch_walls_s": batch_walls,
+        "state_mb": [round(s / 1e6, 1) for s in state_sizes],
+        "work_dir": tmp,
+    }))
+    if not work_root:
+        shutil.rmtree(tmp, ignore_errors=True)
+    spark.stop()
+    return 0 if equal else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
