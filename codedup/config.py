@@ -49,6 +49,14 @@ class DedupConfig:
     minhash_prefilter_margin: float | None = 0.15
     lcs_min_frac: float = 0.0         # 0 disables the LCS gate; >0 requires LCS/minlen >= frac
     lcs_max_chars: int = 20000        # cap per-side content length for LCS (cost bound)
+    # Compute the suffix-array LCS signal at all?  With lcs_min_frac=0
+    # the LCS never gates accept/reject, so turning the SIGNAL off
+    # changes no pair decisions and no clusters — it only writes the
+    # -1.0 not-computed sentinel into lcs_frac.  It is the verify
+    # stage's single biggest cost line (sweep table, BENCH/BASELINE.md);
+    # default True because the north-star names LCS as the confirmation
+    # signal.  lcs_min_frac > 0 requires it (validated).
+    lcs_signal: bool = True
 
     # --- skew handling (SURVEY §4.2) ---
     band_bucket_cap: int = 64     # buckets larger than this are "hot"
@@ -83,6 +91,9 @@ class DedupConfig:
             )
         if self.shingle_mode not in ("char", "token"):
             raise ValueError(f"unknown shingle_mode {self.shingle_mode!r}")
+        if self.lcs_min_frac > 0 and not self.lcs_signal:
+            raise ValueError("lcs_min_frac > 0 requires lcs_signal=True "
+                             "(the gate needs the signal computed)")
 
 
 DEFAULT_CONFIG = DedupConfig()

@@ -55,6 +55,7 @@ def verify_pairs(pairs: DataFrame, reps: DataFrame, sigs: DataFrame, cfg: DedupC
 
     k, norm, mode = cfg.shingle_k, cfg.normalize_ws, cfg.shingle_mode
     j_min, lcs_min, lcs_cap = cfg.jaccard_threshold, cfg.lcs_min_frac, cfg.lcs_max_chars
+    lcs_on = cfg.lcs_signal
     fault_marker = os.environ.get("CODEDUP_FAULT_INJECT")  # test hook (closure-captured)
 
     sim = sigs.select("file_id", "simhash", "minhash")
@@ -138,8 +139,13 @@ def verify_pairs(pairs: DataFrame, reps: DataFrame, sigs: DataFrame, cfg: DedupC
                     j = 1.0 if union == 0 else inter / float(union)
                     if j < j_min:
                         continue
-                    lf = 1.0 if ta == tb else K.lcs_fraction(ta, tb, max_chars=lcs_cap)
-                    if lf < lcs_min:
+                    if ta == tb:
+                        lf = 1.0
+                    elif lcs_on:
+                        lf = K.lcs_fraction(ta, tb, max_chars=lcs_cap)
+                    else:
+                        lf = -1.0        # signal not computed (cfg.lcs_signal)
+                    if lcs_on and lf < lcs_min:
                         continue
                     kind = "near" if j < 1.0 else "normalized_exact"
                 except Exception:

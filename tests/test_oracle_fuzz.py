@@ -25,7 +25,7 @@ _FUZZED = ["doc_repetition_stats", "paragraph_dedup_stats", "doc_pii_scrub",
            "winnowing_pairs", "simhash_tokens", "lang_id_heuristic",
            "doc_category_rules", "doc_minhash_fingerprint",
            "dedup_ngram_jaccard", "dedup_containment", "doc_rarest_terms",
-           "bpe_token_stats"]
+           "bpe_token_stats", "paragraph_dedup_apply", "doc_fingerprint"]
 
 _SETTINGS = settings(
     max_examples=4, deadline=None, derandomize=True,
@@ -67,5 +67,143 @@ def test_fuzz_engine_equals_oracle(spark, tmp_path_factory, qname):
         want = _norm([tuple(r) for r in
                       _oracle(d, ORACLES[qname]).itertuples(index=False)])
         assert got == want, f"{qname} diverged on {texts!r}"
+
+    inner()
+
+
+# --- wider families (VERDICT r3 #7): events, name pools, embeddings ---
+
+_EVENT_ROWS = st.lists(
+    st.tuples(
+        st.integers(0, 3),                      # user_id (collisions)
+        st.integers(0, 4_000_000),              # epoch seconds (~46 days)
+        st.sampled_from(["view", "click", "buy"]),
+        st.integers(-32, 32),                   # value quarters
+    ),
+    min_size=1, max_size=40,
+)
+
+_EVENT_QUERIES = ["user_sessions", "events_daily_top_types", "user_activity"]
+
+
+def _write_events(d: str, rows) -> None:
+    import pandas as pd
+
+    pdf = pd.DataFrame({
+        "event_id": range(len(rows)),
+        "ts": pd.to_datetime([r[1] for r in rows], unit="s").astype("datetime64[us]"),
+        "user_id": [r[0] for r in rows],
+        "event_type": [r[2] for r in rows],
+        "value": [r[3] / 4.0 for r in rows],    # dyadic: f64 sums exact
+        "props": "",
+    })
+    pdf.to_parquet(d + "/events.parquet", index=False)
+
+
+@pytest.mark.parametrize("qname", _EVENT_QUERIES)
+def test_fuzz_events_family(spark, tmp_path_factory, qname):
+    """Timestamp windows/sessionization: exact 30-min gap boundaries,
+    ts ties broken by event_id, day-boundary rollups, float sums kept
+    dyadic so round(,2) is engine-exact."""
+    run = [0]
+
+    @_SETTINGS
+    @given(_EVENT_ROWS)
+    def inner(rows):
+        run[0] += 1
+        d = str(tmp_path_factory.mktemp(f"fz_ev_{qname}_{run[0]}"))
+        _write_events(d, rows)
+        got = _norm([tuple(r) for r in QUERIES[qname](spark, d).collect()])
+        con = duckdb.connect()
+        con.execute("CREATE VIEW events AS SELECT * FROM "
+                    f"read_parquet('{d}/events.parquet')")
+        want = _norm([tuple(r) for r in
+                      con.execute(ORACLES[qname]).fetchdf().itertuples(index=False)])
+        assert got == want, f"{qname} diverged on {rows!r}"
+
+    inner()
+
+
+_DOC_IDS = st.lists(st.integers(0, 600), min_size=1, max_size=60, unique=True)
+
+
+def test_fuzz_apply_plan_moves_name_pools(spark, tmp_path_factory):
+    """The S10 conflict discipline (claims, blocked names, family slot
+    sequences) over RANDOM doc_id pools — collisions in stem/suffix
+    families vary with the id set, so the fixed sf corpus exercises only
+    one collision pattern."""
+    run = [0]
+
+    @_SETTINGS
+    @given(_DOC_IDS)
+    def inner(ids):
+        import pandas as pd
+
+        run[0] += 1
+        d = str(tmp_path_factory.mktemp(f"fz_apply_{run[0]}"))
+        pd.DataFrame({"doc_id": sorted(ids), "lang": "en", "text": ""}) \
+            .to_parquet(d + "/documents.parquet", index=False)
+        got = _norm([tuple(r) for r in
+                     QUERIES["apply_plan_moves"](spark, d).collect()])
+        con = duckdb.connect()
+        con.execute("CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{d}/documents.parquet')")
+        want = _norm([tuple(r) for r in
+                      con.execute(ORACLES["apply_plan_moves"]).fetchdf()
+                      .itertuples(index=False)])
+        assert got == want, f"apply_plan_moves diverged on {sorted(ids)!r}"
+
+    inner()
+
+
+# quarter-integer embeddings: every dot product / squared distance is a
+# dyadic rational computed in the same f64 op order on both engines, so
+# round(..., 6) can never split; first component offset by +4 keeps
+# norms nonzero (NaN cosine semantics differ between engines and are
+# out of contract)
+_EMB_ROWS = st.lists(
+    st.tuples(st.integers(0, 9),                         # label
+              st.lists(st.integers(-8, 8), min_size=64, max_size=64)),
+    min_size=2, max_size=24,
+)
+
+_EMB_QUERIES = ["semantic_dedup", "label_centroid_classifier",
+                "feedback_model_predictions", "ann_topk_cosine",
+                "embedding_similar_pairs", "ann_lsh_bucketed", "ann_ivf_topk"]
+
+
+def _write_embeddings_fuzz(d: str, rows) -> None:
+    import numpy as np
+    import pandas as pd
+
+    vecs = []
+    for _lab, q in rows:
+        v = np.asarray(q, dtype=np.float32) / 4.0
+        v[0] += 4.0
+        vecs.append(v)
+    pd.DataFrame({
+        "vec_id": range(len(rows)),
+        "embedding": vecs,
+        "label": np.asarray([r[0] for r in rows], dtype=np.int32),
+    }).to_parquet(d + "/embeddings.parquet", index=False)
+
+
+@pytest.mark.parametrize("qname", _EMB_QUERIES)
+def test_fuzz_embeddings_family(spark, tmp_path_factory, qname):
+    run = [0]
+
+    @_SETTINGS
+    @given(_EMB_ROWS)
+    def inner(rows):
+        run[0] += 1
+        d = str(tmp_path_factory.mktemp(f"fz_emb_{qname}_{run[0]}"))
+        _write_embeddings_fuzz(d, rows)
+        got = _norm([tuple(r) for r in QUERIES[qname](spark, d).collect()])
+        con = duckdb.connect()
+        con.execute("CREATE VIEW embeddings AS SELECT * FROM "
+                    f"read_parquet('{d}/embeddings.parquet')")
+        want = _norm([tuple(r) for r in
+                      con.execute(ORACLES[qname]).fetchdf().itertuples(index=False)])
+        assert got == want, f"{qname} diverged on seed row set {run[0]}"
 
     inner()

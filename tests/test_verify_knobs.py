@@ -67,3 +67,32 @@ def test_tight_margin_is_a_subset_never_a_superset(spark, tiny, cfg, tmp_path):
     loose = pairs(cfg.with_(minhash_prefilter_margin=None), "loose")
     tight = pairs(cfg.with_(minhash_prefilter_margin=0.02), "tight")
     assert tight <= loose
+
+
+def test_lcs_signal_off_changes_no_decisions(spark, tiny, cfg, tmp_path):
+    """With lcs_min_frac=0 (default) the LCS never gates, so turning the
+    signal off must yield the IDENTICAL pair set and clusters — only
+    lcs_frac becomes the -1.0 not-computed sentinel (for non-identical
+    pairs; normalized-equal pairs still report 1.0)."""
+    from codedup import pipeline
+
+    def run(c, tag):
+        return pipeline.run(spark, [tiny["paths"]["files"]], c,
+                            work_dir=str(tmp_path / tag), run_id=tag, resume=False)
+
+    on = run(cfg, "lcs_on")
+    off = run(cfg.with_(lcs_signal=False), "lcs_off")
+    p_on = on.verified.filter("kind != 'fault'").select("a", "b").toPandas()
+    p_off = off.verified.filter("kind != 'fault'").select("a", "b").toPandas()
+    assert set(map(tuple, p_on.values)) == set(map(tuple, p_off.values))
+    lfs = off.verified.filter("kind = 'near'").select("lcs_frac").toPandas().lcs_frac
+    assert set(lfs.unique()) <= {-1.0, 1.0}
+    # clusters identical
+    c_on = on.members.select("key", "cluster_id").toPandas()
+    c_off = off.members.select("key", "cluster_id").toPandas()
+    assert sorted(map(tuple, c_on.values)) == sorted(map(tuple, c_off.values))
+
+
+def test_lcs_gate_requires_signal():
+    with pytest.raises(ValueError, match="lcs_signal"):
+        DedupConfig(lcs_min_frac=0.5, lcs_signal=False)

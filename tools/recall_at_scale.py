@@ -56,6 +56,9 @@ def main() -> int:
         i = argv.index("--lcs-cap")
         kw["lcs_max_chars"] = int(argv[i + 1])
         del argv[i:i + 2]
+    if "--no-lcs" in argv:
+        kw["lcs_signal"] = False
+        argv.remove("--no-lcs")
     corpus = argv[0]
     work = argv[1] if len(argv) > 1 else None
     cores = argv[2] if len(argv) > 2 else "32"
@@ -97,6 +100,7 @@ def main() -> int:
         "files": n,
         "margin": cfg.minhash_prefilter_margin,
         "lcs_cap": cfg.lcs_max_chars,
+        "lcs_signal": cfg.lcs_signal,
         "wall_s": round(wall, 1),
         "files_per_sec": round(n / wall, 1),
         "truth_pairs": n_truth,

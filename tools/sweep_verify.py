@@ -34,21 +34,25 @@ import tempfile
 HERE = os.path.dirname(os.path.abspath(__file__))
 
 GRIDS = {
-    # (margin, lcs_cap): default first — it is the baseline row
-    "default": [(0.15, 20000), (0.10, 20000), (0.05, 20000),
-                (0.15, 4000), (0.10, 4000), (0.05, 4000)],
-    "quick": [(0.15, 20000), (0.05, 4000)],
+    # (margin, lcs_cap, lcs_signal): default first — it is the baseline
+    # row.  lcs_signal=False is the big lever: with lcs_min_frac=0 the
+    # LCS never gates, so skipping the signal changes zero pair
+    # decisions while removing the verify stage's largest cost line.
+    "default": [(0.15, 20000, True), (0.05, 20000, True),
+                (0.15, 4000, True), (0.05, 4000, True),
+                (0.15, 20000, False), (0.05, 20000, False)],
+    "quick": [(0.15, 20000, True), (0.15, 20000, False)],
 }
 
 
-def run_leg(corpus: str, margin: float, cap: int) -> dict:
+def run_leg(corpus: str, margin: float, cap: int, lcs: bool) -> dict:
     with tempfile.TemporaryDirectory(prefix="sweep_work_") as work:
-        out = subprocess.run(
-            [sys.executable, os.path.join(HERE, "recall_at_scale.py"),
-             corpus, work, "32", "--margin", str(margin), "--lcs-cap", str(cap)],
-            capture_output=True, text=True, check=True,
-            cwd=os.path.join(HERE, ".."),
-        )
+        cmd = [sys.executable, os.path.join(HERE, "recall_at_scale.py"),
+               corpus, work, "32", "--margin", str(margin), "--lcs-cap", str(cap)]
+        if not lcs:
+            cmd.append("--no-lcs")
+        out = subprocess.run(cmd, capture_output=True, text=True, check=True,
+                             cwd=os.path.join(HERE, ".."))
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
@@ -58,21 +62,21 @@ def main() -> int:
                  and sys.argv[sys.argv.index("--grid") + 1] == "quick"
                  else "default"]
     rows = []
-    for margin, cap in grid:
-        r = run_leg(corpus, margin, cap)
+    for margin, cap, lcs in grid:
+        r = run_leg(corpus, margin, cap, lcs)
         r["verify_s"] = r["stages"].get("verified", 0.0)
         rows.append(r)
         print(json.dumps(r), flush=True)
 
     base = rows[0]
-    print("\n| margin | lcs_cap | verify s | total s | recall | precision |"
-          " verify vs default |", flush=True)
-    print("|---|---|---|---|---|---|---|", flush=True)
+    print("\n| margin | lcs_cap | lcs_signal | verify s | total s | recall |"
+          " precision | verify vs default |", flush=True)
+    print("|---|---|---|---|---|---|---|---|", flush=True)
     for r in rows:
         rel = (r["verify_s"] / base["verify_s"]) if base["verify_s"] else 1.0
-        print(f"| {r['margin']} | {r['lcs_cap']} | {r['verify_s']:.1f} "
-              f"| {r['wall_s']:.1f} | {r['recall']:.6f} | {r['precision']:.6f} "
-              f"| {rel:.2f}x |", flush=True)
+        print(f"| {r['margin']} | {r['lcs_cap']} | {r['lcs_signal']} "
+              f"| {r['verify_s']:.1f} | {r['wall_s']:.1f} | {r['recall']:.6f} "
+              f"| {r['precision']:.6f} | {rel:.2f}x |", flush=True)
     return 0
 
 
