@@ -98,22 +98,39 @@ def main() -> int:
                        work_dir=batch_work, run_id="b", resume=False)
     batch_wall = time.time() - t0
 
-    # compare at the content level, entirely in Spark (sha pairs)
-    def sha_pairs(pairs_df, fp_df):
-        sh = fp_df.select("file_id", "sha256")
-        return (
-            pairs_df.filter(F.col("kind") != "fault")
-            .join(sh.select(F.col("file_id").alias("a"), F.col("sha256").alias("sa")), "a")
-            .join(sh.select(F.col("file_id").alias("b"), F.col("sha256").alias("sb")), "b")
-            .select(F.least("sa", "sb").alias("x"), F.greatest("sa", "sb").alias("y"))
-            .distinct()
-        )
-
+    # Compare CLUSTERS, not raw pair sets: the hot-bucket star policy
+    # pairs a bucket member with the bucket MINIMUM AT ARRIVAL TIME, so
+    # the streamed pair set legitimately differs from batch mode inside
+    # star-affected buckets while the transitive closure is the same —
+    # cluster assignment is the reference's contract (north_rule).
+    # Clusters are compared as co-membership pair sets over content
+    # sha256 (key-level ids differ only by exact-dup representative
+    # election), entirely in Spark.
+    from codedup.stages.cluster import connected_components
     from codedup.stages.fingerprint import fingerprint
 
     stream_fp = fingerprint(files).localCheckpoint(eager=True)
-    got = sha_pairs(inc.pairs(), stream_fp).localCheckpoint(eager=True)
-    want = sha_pairs(res.verified, res.fingerprints).localCheckpoint(eager=True)
+    stream_edges = (
+        inc.pairs().filter(F.col("kind") != "fault")
+        .select(F.col("a").alias("u"), F.col("b").alias("v"))
+    )
+    stream_cc = connected_components(stream_edges, cfg).localCheckpoint(eager=True)
+
+    def sha_copairs(members_df, fp_df, id_col, cid_col):
+        sh = fp_df.select(F.col("file_id").alias(id_col), "sha256")
+        m = members_df.join(sh, id_col).select("sha256", F.col(cid_col).alias("c"))
+        # exact-dup members share a sha; distinct first so co-pairs are
+        # over distinct contents
+        m = m.distinct()
+        x = m.select(F.col("sha256").alias("x"), "c")
+        y = m.select(F.col("sha256").alias("y"), "c")
+        return (x.join(y, "c").filter(F.col("x") < F.col("y"))
+                .select("x", "y").distinct())
+
+    got = sha_copairs(stream_cc, stream_fp, "file_id", "cluster_id") \
+        .localCheckpoint(eager=True)
+    want = sha_copairs(res.clusters, res.fingerprints, "file_id", "cluster_id") \
+        .localCheckpoint(eager=True)
     n_got, n_want = got.count(), want.count()
     n_inter = got.join(want, ["x", "y"], "left_semi").count()
     equal = n_got == n_want == n_inter
