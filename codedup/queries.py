@@ -1073,19 +1073,22 @@ def q_doc_minhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint family (the pipeline's 128-slot MinHash is the full
     version)."""
     docs = _t(spark, sf_dir, "documents")
-    grams = docs.select(
-        "doc_id",
-        F.explode(
-            F.expr(f"transform(sequence(1, greatest(length(text)-{NGRAM_K - 1}, 1)),"
-                   f" i -> substring(text, i, {NGRAM_K}))")
-        ).alias("g"),
-    ).distinct()
-    h = grams.withColumn("hv", F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("long"))
-    return h.groupBy("doc_id").agg(
-        F.min("hv").alias("fp_min"),
-        F.max("hv").alias("fp_max"),
-        F.count(F.lit(1)).alias("n_grams"),
-    )
+    # MAP-ONLY: the sketch is per-document, so dedup the gram set and
+    # fold min/max/count INSIDE the row (array_distinct + transform +
+    # array_min/max) — no explode, no distinct shuffle, no groupBy.
+    # The hash array is lambda-bound so it is computed once per row;
+    # the DuckDB oracle keeps the relational explode form, pinning the
+    # equivalence cross-engine.
+    grams = (f"array_distinct(transform("
+             f"sequence(1, greatest(length(text)-{NGRAM_K - 1}, 1)),"
+             f" i -> substring(text, i, {NGRAM_K})))")
+    hvs = (f"transform({grams}, g -> "
+           f"CAST(conv(substring(md5(g), 1, 15), 16, 10) AS BIGINT))")
+    fp = (f"element_at(transform(array({hvs}), h -> struct("
+          f"array_min(h) AS fp_min, array_max(h) AS fp_max,"
+          f" CAST(size(h) AS BIGINT) AS n_grams)), 1)")
+    return docs.select("doc_id", F.expr(fp).alias("_fp")) \
+        .select("doc_id", "_fp.fp_min", "_fp.fp_max", "_fp.n_grams")
 
 
 WINNOW_W = 4  # winnowing window: guarantee = matches of length k+W-1 detected
@@ -1116,22 +1119,28 @@ def _winnowing_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
         _cache_put(cache_key, out)
         return out
     docs = _t(spark, sf_dir, "documents")
-    grams = docs.select(
-        "doc_id",
-        F.length("text").alias("_len"),
-        F.posexplode(
-            F.expr(f"transform(sequence(1, greatest(length(text)-{NGRAM_K - 1}, 1)),"
-                   f" i -> substring(text, i, {NGRAM_K}))")
-        ).alias("pos", "g"),
-    ).withColumn("hv", F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("long"))
-    n_grams = F.greatest(F.col("_len") - F.lit(NGRAM_K - 1), F.lit(1))
-    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, WINNOW_W - 1)
-    wind = grams.withColumn("fp", F.min("hv").over(w)).filter(
-        # complete windows only; a doc shorter than W grams keeps its
-        # single all-grams window (pos 0)
-        (F.col("pos") <= n_grams - WINNOW_W) | (F.col("pos") == 0)
-    )
-    out = wind.select("doc_id", "fp").distinct()
+    # MAP-ONLY form: the winnowing window never crosses documents, so
+    # the sliding minima are computed INSIDE each row with higher-order
+    # array functions — no posexplode, no per-doc window sort, no
+    # shuffle until the consumer aggregations.  (The earlier
+    # posexplode + Window.rowsBetween form shuffled one row per
+    # positional gram — ~10M rows at sf0.1, and at 100 TB the sort
+    # alone would dominate; this plan is pure WholeStageCodegen over
+    # the scan.)  Semantics identical: complete windows only, a doc
+    # shorter than W grams keeps its single all-grams window; the
+    # DuckDB oracle keeps the explicit window form, which pins the
+    # equivalence cross-engine.
+    hvs = (f"transform(sequence(1, greatest(length(text)-{NGRAM_K - 1}, 1)),"
+           f" i -> CAST(conv(substring(md5(substring(text, i, {NGRAM_K})), 1, 15),"
+           f" 16, 10) AS BIGINT))")
+    # bind the gram-hash array ONCE via a lambda (SQL has no let;
+    # projection collapse would otherwise inline + recompute the md5
+    # transform for each of its three uses)
+    fps = (f"element_at(transform(array({hvs}), a -> "
+           f"CASE WHEN size(a) <= {WINNOW_W} THEN array(array_min(a)) "
+           f"ELSE array_distinct(transform(sequence(1, size(a) - {WINNOW_W} + 1),"
+           f" p -> array_min(slice(a, p, {WINNOW_W})))) END), 1)")
+    out = docs.select("doc_id", F.explode(F.expr(fps)).alias("fp")).distinct()
     if spill is not None:
         out = _publish_spill(spark, out.localCheckpoint(eager=True), spill)
     else:

@@ -75,3 +75,38 @@ def test_embedding_fixture_deterministic_and_planted():
     n = emb / np.linalg.norm(emb, axis=1, keepdims=True)
     cos = (n[truth.a.to_numpy()] * n[truth.b.to_numpy()]).sum(axis=1)
     assert cos.min() > 0.99    # planted dups really are near-dups
+
+
+def test_multiprobe_semantic_dedup_superset_and_boundary_recovery(spark):
+    """Multi-probe SemDeDup (nprobe=2) drops a SUPERSET of the
+    single-cell drops (same rule, more shared cells), and recovers a
+    constructed near-dup pair that single-cell assignment splits
+    across a Voronoi boundary."""
+    import numpy as np
+    import pandas as pd
+    from codedup.ann import (probe_cells, semantic_dedup_cells,
+                             semantic_dedup_multiprobe)
+
+    # two centroids on the x axis; a near-dup pair straddling the
+    # y-axis boundary between them, plus filler vectors deep in
+    # each cell
+    dim = 4
+    cents = [[-2.0, 0, 0, 0], [2.0, 0, 0, 0]]
+    rows = [
+        (0, [-0.05, 1.0, 0.0, 0.0]),   # boundary pair, cell 0 side
+        (1, [0.05, 1.0, 0.0, 0.0]),    # boundary pair, cell 1 side (cos~0.995)
+        (2, [-3.0, 0.2, 0.0, 0.0]),    # deep in cell 0
+        (3, [3.0, -0.2, 0.0, 0.0]),    # deep in cell 1
+    ]
+    emb = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [r[0] for r in rows],
+                      "embedding": [np.asarray(r[1], dtype=np.float32) for r in rows]}))
+    single = semantic_dedup_cells(probe_cells(emb, cents, 1), 0.98).toPandas()
+    multi = semantic_dedup_multiprobe(emb, cents, 0.98, nprobe=2).toPandas()
+    s_drop = set(single[single.kept == 0].vec_id)
+    m_drop = set(multi[multi.kept == 0].vec_id)
+    assert s_drop == set()          # boundary pair split across cells: missed
+    assert m_drop == {1}            # multi-probe shares a cell: caught
+    assert s_drop <= m_drop
+    # primary cell reported is the nearest cell either way
+    assert dict(zip(multi.vec_id, multi.cell)) == dict(zip(single.vec_id, single.cell))

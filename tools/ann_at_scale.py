@@ -153,6 +153,19 @@ def main() -> int:
     n_caught = (tp.filter("ca = cb").join(
         dropped_ids.withColumnRenamed("vec_id", "b"), "b", "left_semi").count())
 
+    # multi-probe SemDeDup: recover the planted pairs that straddle a
+    # cell boundary (the single-cell miss mode)
+    from codedup.ann import semantic_dedup_multiprobe
+
+    t0 = time.time()
+    sem2 = semantic_dedup_multiprobe(emb, centroids, SEM_TAU, nprobe=2) \
+        .localCheckpoint(eager=True)
+    n_dropped2 = sem2.filter("kept = 0").count()
+    sem2_s = time.time() - t0
+    dropped2 = sem2.filter("kept = 0").select("vec_id")
+    n_caught2 = (truth_dups.join(
+        dropped2.withColumnRenamed("vec_id", "b"), "b", "left_semi").count())
+
     print(json.dumps({
         "n": n, "dim": 64, "n_cells": n_cells, "nprobe": nprobe, "k": k,
         "train_s": round(train_s, 1),
@@ -171,6 +184,11 @@ def main() -> int:
         "planted_colocated": n_colocated,
         "planted_caught": n_caught,
         "planted_catch_rate": round(n_caught / n_colocated, 4) if n_colocated else 1.0,
+        "multiprobe_s": round(sem2_s, 1),
+        "multiprobe_dropped": n_dropped2,
+        "multiprobe_caught": n_caught2,
+        "multiprobe_catch_rate_all_planted":
+            round(n_caught2 / n_truth, 4) if n_truth else 1.0,
     }))
     spark.stop()
     return 0
