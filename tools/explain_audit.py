@@ -129,14 +129,27 @@ def main() -> int:
     ok &= audit("query: orders_keyset_page (serving filter + keyset page)",
                 QUERIES["orders_keyset_page"](spark, SF))
 
-    # round-3 additions: IVF search and SemDeDup are pure JVM equi-joins
-    # over the pinned-centroid assignment (the eager checkpoint of the
-    # ranked-cells table appears as a scan; the join shape is audited),
-    # repetition/PII/apply are JVM-only single-scan or windowed plans
-    ok &= audit_no_bnlj("query: ann_ivf_topk (pinned-quantizer cell equi-join)",
-                        QUERIES["ann_ivf_topk"](spark, SF))
-    ok &= audit_no_bnlj("query: semantic_dedup (within-cell pair join)",
-                        QUERIES["semantic_dedup"](spark, SF))
+    # round-4: IVF search and SemDeDup route through the full-scale
+    # cell-grouped Arrow forms (argmin assignment + cogrouped gemm /
+    # per-cell gram) — the audited shape is the cogroup/group stage
+    # with NO BroadcastNestedLoopJoin and no join at all for SemDeDup
+    # (the relational equi-join twins remain in ann.py, equivalence-
+    # tested in tests/test_ann_scale_path.py)
+    def audit_cogrouped(name, df, marker):
+        plan = plan_of(df)
+        notes = []
+        bnlj_ok = "BroadcastNestedLoopJoin" not in plan
+        notes.append(f"{'OK' if bnlj_ok else 'VIOLATION'}: no BroadcastNestedLoopJoin")
+        m_ok = marker in plan
+        notes.append(f"{'OK' if m_ok else 'VIOLATION'}: {marker} present "
+                     "(cell-grouped Arrow stage)")
+        sections.append((name, plan, notes))
+        return bnlj_ok and m_ok
+
+    ok &= audit_cogrouped("query: ann_ivf_topk (argmin assignment + cell-cogrouped gemm)",
+                          QUERIES["ann_ivf_topk"](spark, SF), "FlatMapCoGroupsInPandas")
+    ok &= audit_cogrouped("query: semantic_dedup (per-cell gram, no join)",
+                          QUERIES["semantic_dedup"](spark, SF), "FlatMapGroupsInPandas")
     ok &= audit("query: doc_repetition_stats (explode + group aggregations)",
                 QUERIES["doc_repetition_stats"](spark, SF))
     ok &= audit("query: doc_pii_scrub (single-scan regex transform)",
