@@ -305,6 +305,16 @@ def _spill_path(sf_dir: str, prefix: str, extra: str) -> str | None:
             else os.path.join(tempfile.gettempdir(), f"codedup_query_cache_u{uid}")
         try:
             os.makedirs(root, mode=0o700, exist_ok=True)
+            # makedirs mode is ignored for a PRE-EXISTING dir: on the
+            # /tmp fallback path an attacker could pre-create the
+            # derivable per-uid path (ADVICE r4).  Accept the dir only
+            # if we own it and nobody else can write it; otherwise run
+            # with the spill disabled rather than read poisoned bytes.
+            st_root = os.stat(root)
+            if hasattr(os, "getuid") and (
+                st_root.st_uid != os.getuid() or (st_root.st_mode & 0o022)
+            ):
+                return None
         except OSError:
             return None
     key = hashlib.sha256(
@@ -1087,7 +1097,13 @@ def q_doc_minhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = (f"element_at(transform(array({hvs}), h -> struct("
           f"array_min(h) AS fp_min, array_max(h) AS fp_max,"
           f" CAST(size(h) AS BIGINT) AS n_grams)), 1)")
-    return docs.select("doc_id", F.expr(fp).alias("_fp")) \
+    # NULL-text guard (ADVICE r4): the explode-form oracle drops a
+    # NULL-text doc entirely (nothing to explode), while the map-only
+    # form would emit (NULL, NULL, size(NULL)) — and size(NULL) even
+    # varies with ANSI mode (-1 legacy vs NULL).  Match the oracle by
+    # dropping NULL-text rows before the map.
+    return docs.filter(F.col("text").isNotNull()) \
+        .select("doc_id", F.expr(fp).alias("_fp")) \
         .select("doc_id", "_fp.fp_min", "_fp.fp_max", "_fp.n_grams")
 
 
@@ -1263,6 +1279,7 @@ WITH grams AS (
   SELECT DISTINCT doc_id, substr(text, i, {NGRAM_K}) AS g
   FROM documents,
        LATERAL (SELECT unnest(generate_series(1, greatest(length(text)-{NGRAM_K - 1}, 1))) AS i) t
+  WHERE text IS NOT NULL
 ), h AS (
   SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS hv FROM grams
 )

@@ -110,3 +110,81 @@ def test_multiprobe_semantic_dedup_superset_and_boundary_recovery(spark):
     assert s_drop <= m_drop
     # primary cell reported is the nearest cell either way
     assert dict(zip(multi.vec_id, multi.cell)) == dict(zip(single.vec_id, single.cell))
+
+
+def test_ivf_blocks_tie_at_kth_keeps_lowest_ids(spark):
+    """ADVICE r4: when >k members of a cell tie at the k-th similarity
+    (exact-duplicate vectors), the cell-local top-k must keep the
+    LOWEST neighbor ids — the order the global window and the DuckDB
+    oracle rank by — not an arbitrary argpartition selection."""
+    import numpy as np
+    import pandas as pd
+    from codedup.ann import ivf_topk_blocks, probe_cells
+
+    cents = [[0.0, 0.0], [10.0, 10.0]]
+    dup = np.asarray([1.0, 0.0], dtype=np.float32)
+    rows = [(0, np.asarray([0.8, 0.6], dtype=np.float32))]  # the probe
+    rows += [(i, dup.copy()) for i in range(1, 9)]          # 8 exact dups
+    emb = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [r[0] for r in rows],
+                      "embedding": [r[1] for r in rows]}))
+    assigned = probe_cells(emb, cents, 1)
+    probes = emb.filter("vec_id = 0")
+    got = ivf_topk_blocks(assigned, cents, probes, k=3, nprobe=1).toPandas()
+    got = got.sort_values("rank")
+    # all 8 neighbors tie at cos(probe, dup): survivors are ids 1,2,3
+    assert list(got.neighbor_id) == [1, 2, 3]
+    assert list(got["rank"]) == [1, 2, 3]
+
+
+def test_probe_cells_rounded_tie_resolves_to_lowest_cell(spark):
+    """ADVICE r4: cell assignment ranks by (round(dist, 6), cell id)
+    like the relational twin/oracle — a vector equidistant from two
+    centroids must land in the LOWER cell id, and the nprobe=2 probe
+    order must also put the lower cell first."""
+    import numpy as np
+    import pandas as pd
+    from codedup.ann import _ranked_cells, probe_cells
+    from pyspark.sql import functions as F
+
+    # exact tie: the midpoint of two centroids (dists identical even
+    # in floating point), plus a <5e-7 perturbation case that rounds
+    # equal at 6 decimals but whose true argmin is the HIGHER cell
+    cents = [[-1.0, 0.0], [1.0, 0.0]]
+    emb = spark.createDataFrame(pd.DataFrame({
+        "vec_id": [0, 1],
+        "embedding": [np.asarray([0.0, 5.0], dtype=np.float32),
+                      np.asarray([1e-8, 5.0], dtype=np.float32)],
+    }))
+    got = {r.vec_id: r.cell for r in probe_cells(emb, cents, 1).collect()}
+    rel = {r.vec_id: r.cell for r in
+           _ranked_cells(emb, cents, "vec_id", "embedding")
+           .filter(F.col("rn") == 1).select("vec_id", "cell").collect()}
+    assert got == rel == {0: 0, 1: 0}
+    # probe order for nprobe=2: lower cell id first on the tie
+    multi = probe_cells(emb, cents, 2).toPandas()
+    assert list(multi[multi.vec_id == 0].cell) == [0, 1]
+
+
+def test_semantic_dedup_custom_id_col(spark):
+    """ADVICE r4: both SemDeDup forms honor a non-default id_col in
+    their output schema and join keys."""
+    import numpy as np
+    import pandas as pd
+    from codedup.ann import (probe_cells, semantic_dedup_cells,
+                             semantic_dedup_multiprobe)
+
+    cents = [[-2.0, 0.0], [2.0, 0.0]]
+    emb = spark.createDataFrame(pd.DataFrame({
+        "file_id": [10, 11, 12],
+        "embedding": [np.asarray(v, dtype=np.float32)
+                      for v in ([-2.0, 0.1], [-2.0, 0.1], [2.0, -0.3])],
+    }))
+    cells = semantic_dedup_cells(
+        probe_cells(emb, cents, 1, id_col="file_id"), 0.99,
+        id_col="file_id").toPandas()
+    multi = semantic_dedup_multiprobe(
+        emb, cents, 0.99, nprobe=2, id_col="file_id").toPandas()
+    for out in (cells, multi):
+        assert set(out.columns) == {"file_id", "cell", "kept"}
+        assert dict(zip(out.file_id, out.kept)) == {10: 1, 11: 0, 12: 1}

@@ -207,3 +207,19 @@ def test_fuzz_embeddings_family(spark, tmp_path_factory, qname):
         assert got == want, f"{qname} diverged on seed row set {run[0]}"
 
     inner()
+
+
+def test_doc_minhash_fingerprint_null_text(spark, tmp_path):
+    """ADVICE r4: the map-only form must drop NULL-text docs like the
+    explode-form oracle does (no (NULL, NULL, -1/NULL) row)."""
+    d = str(tmp_path)
+    rows = [(0, "en", "hello world of spark"), (1, "en", None), (2, "en", "x")]
+    spark.createDataFrame(rows, "doc_id long, lang string, text string") \
+        .coalesce(1).write.mode("overwrite").parquet(d + "/documents.parquet")
+    got = _norm([tuple(r) for r in
+                 QUERIES["doc_minhash_fingerprint"](spark, d).collect()])
+    want = _norm([tuple(r) for r in
+                  _oracle(d, ORACLES["doc_minhash_fingerprint"])
+                  .itertuples(index=False)])
+    assert got == want
+    assert len(got) == 2          # NULL-text doc dropped on both sides
