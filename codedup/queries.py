@@ -2193,6 +2193,147 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 """
 
 
+SUBSTR_K = 25  # min duplicated-substring length spliced out (chars)
+
+
+def substring_dedup_apply_frame(docs: DataFrame, k: int = SUBSTR_K) -> DataFrame:
+    """Corpus-level EXACT SUBSTRING dedup (Lee et al. 2021,
+    arXiv:2107.06499 "Deduplicating Training Data Makes Language Models
+    Better", ExactSubstr): every maximal character range covered by
+    k-grams that occur in >= 2 DISTINCT documents is spliced out of the
+    text — the stronger sibling of paragraph_dedup_apply, catching
+    repeated license headers / vendored blocks that do not align on
+    paragraph boundaries.  Lee et al. build one corpus suffix array;
+    the relational equivalent is:
+
+      1. positional k-gram hashes  (map-only explode, 1 row per char)
+      2. duplicated-gram set       (groupBy hash, distinct-doc count >= 2)
+      3. covered start positions   (semi join)
+      4. maximal-run coalescing    (per-doc window: a start within k of
+                                    its predecessor extends the run)
+      5. splice-out                (one fold over the sorted run list —
+                                    the doc TEXT ships exactly once to
+                                    its groupBy, runs are tiny structs)
+
+    All five steps are JVM-relational (no UDF).  Shape at scale: step 1
+    is the same positional explode winnowing already pays; step 2
+    shuffles 8-byte hashes; the fold in step 5 is whole-stage-codegen.
+    Removing ALL copies (not keep-one) is Lee et al.'s default policy;
+    grams hash with the portable md5-60bit so the DuckDB oracle splices
+    byte-identically (collisions, ~2^-60/pair, are cross-engine
+    consistent).  Returns (doc_id, orig_len, n_runs, removed_chars,
+    new_text)."""
+    hvs = (f"transform(sequence(1, length(text) - {k - 1}),"
+           f" i -> CAST(conv(substring(md5(substring(text, i, {k})), 1, 15),"
+           f" 16, 10) AS BIGINT))")
+    pe = (
+        docs.filter(F.col("text").isNotNull() & (F.length("text") >= k))
+        .select("doc_id", F.posexplode(F.expr(hvs)).alias("pos0", "hv"))
+        .select("doc_id", (F.col("pos0") + 1).alias("p"), "hv")
+    )
+    dup = (
+        pe.select("doc_id", "hv").distinct()
+        .groupBy("hv").agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= 2)
+    )
+    cov = pe.join(dup.select("hv"), "hv", "left_semi")
+    w = Window.partitionBy("doc_id").orderBy("p")
+    runs = (
+        cov.withColumn(
+            "new_run",
+            F.when(F.col("p") > F.lag("p").over(w) + k, 1).otherwise(0))
+        .withColumn("run_id", F.sum("new_run").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("doc_id", "run_id")
+        .agg(F.min("p").alias("s"), (F.max("p") + k - 1).alias("e"))
+    )
+    # splice: fold the sorted (s, e) list over the original text; runs
+    # are maximal and separated by >= 1 kept char by construction
+    splice = (
+        "aggregate(rs, named_struct('cur', 1, 'acc', ''),"
+        " (a, r) -> named_struct('cur', r.e + 1,"
+        "   'acc', concat(a.acc, substring(text, a.cur, r.s - a.cur))),"
+        " a -> concat(a.acc, substring(text, a.cur, length(text) - a.cur + 1)))"
+    )
+    return (
+        docs.join(runs, "doc_id", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.first("text").alias("text"),
+            F.expr("array_sort(collect_list(CASE WHEN s IS NOT NULL"
+                   " THEN struct(s, e) END))").alias("rs"),
+        )
+        .select(
+            "doc_id",
+            F.length("text").cast("long").alias("orig_len"),
+            F.size("rs").cast("long").alias("n_runs"),
+            F.expr("CAST(aggregate(rs, 0, (a, r) -> a + r.e - r.s + 1)"
+                   " AS BIGINT)").alias("removed_chars"),
+            F.expr(splice).alias("new_text"),
+        )
+    )
+
+
+def q_substring_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """substring_dedup_apply_frame over the documents table, the
+    cleaned text pinned byte-for-byte via sha256 (same discipline as
+    paragraph_dedup_apply / doc_pii_scrub — the oracle verifies the
+    SPLICE, not just the counts)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = substring_dedup_apply_frame(docs)
+    return out.select(
+        "doc_id", "orig_len", "n_runs", "removed_chars",
+        F.sha2("new_text", 256).alias("new_sha"),
+    )
+
+
+SQL_SUBSTRING_DEDUP_APPLY = f"""
+WITH pe AS (
+  SELECT doc_id, i AS p,
+         ('0x' || substr(md5(substr(text, i, {SUBSTR_K})), 1, 15))::BIGINT AS hv
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(1, len(text) - {SUBSTR_K - 1})) AS i) t
+  WHERE text IS NOT NULL AND len(text) >= {SUBSTR_K}
+), dup AS (
+  SELECT hv FROM (SELECT DISTINCT doc_id, hv FROM pe)
+  GROUP BY 1 HAVING count(*) >= 2
+), cov AS (
+  SELECT doc_id, p FROM pe WHERE hv IN (SELECT hv FROM dup)
+), marked AS (
+  SELECT doc_id, p,
+         CASE WHEN p > lag(p) OVER (PARTITION BY doc_id ORDER BY p)
+                      + {SUBSTR_K} THEN 1 ELSE 0 END AS new_run
+  FROM cov
+), runs AS (
+  SELECT doc_id, run_id, min(p) AS s, max(p) + {SUBSTR_K - 1} AS e
+  FROM (SELECT doc_id, p,
+               sum(new_run) OVER (PARTITION BY doc_id ORDER BY p) AS run_id
+        FROM marked)
+  GROUP BY 1, 2
+), segs AS (
+  -- kept segment BEFORE each run, via the previous run's end
+  SELECT r.doc_id, r.s, r.e,
+         substr(d.text, coalesce(lag(r.e) OVER
+                  (PARTITION BY r.doc_id ORDER BY r.s), 0) + 1,
+                r.s - coalesce(lag(r.e) OVER
+                  (PARTITION BY r.doc_id ORDER BY r.s), 0) - 1) AS seg
+  FROM runs r JOIN documents d USING (doc_id)
+), agg AS (
+  SELECT s.doc_id, count(*) AS n_runs,
+         sum(s.e - s.s + 1) AS removed_chars,
+         coalesce(string_agg(s.seg, '' ORDER BY s.s), '')
+           || substr(d.text, max(s.e) + 1) AS new_text
+  FROM segs s JOIN documents d USING (doc_id)
+  GROUP BY s.doc_id, d.text
+)
+SELECT d.doc_id, len(d.text)::BIGINT AS orig_len,
+       coalesce(a.n_runs, 0)::BIGINT AS n_runs,
+       coalesce(a.removed_chars, 0)::BIGINT AS removed_chars,
+       sha256(coalesce(a.new_text, d.text)) AS new_sha
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str,
                      params: AnnParams = DEFAULT_ANN) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
@@ -2415,6 +2556,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_repetition_stats": q_doc_repetition_stats,
     "paragraph_dedup_stats": q_paragraph_dedup_stats,
     "paragraph_dedup_apply": q_paragraph_dedup_apply,
+    "substring_dedup_apply": q_substring_dedup_apply,
     "doc_pii_scrub": q_doc_pii_scrub,
     "pricing_summary": q_pricing_summary,
     "top_orders_per_customer": q_top_orders_per_customer,
@@ -2458,6 +2600,7 @@ ORACLES: dict[str, str] = {
     "doc_repetition_stats": SQL_DOC_REPETITION_STATS,
     "paragraph_dedup_stats": SQL_PARAGRAPH_DEDUP_STATS,
     "paragraph_dedup_apply": SQL_PARAGRAPH_DEDUP_APPLY,
+    "substring_dedup_apply": SQL_SUBSTRING_DEDUP_APPLY,
     "doc_pii_scrub": SQL_DOC_PII_SCRUB,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "top_orders_per_customer": SQL_TOP_ORDERS_PER_CUSTOMER,

@@ -17,10 +17,13 @@ drift out of sync.  State tables:
     <work>/stream/signatures/   all signatures seen (append-only)
     <work>/stream/bands/        all band rows seen (append-only)
     <work>/stream/pairs/        verified pairs (append-only)
+    <work>/stream/bucket_stats/ per-(band, band_hash) size/rep deltas
 
-New-batch candidates = (new bands ⋈ new bands) ∪ (new bands ⋈ old
-bands): each arriving file is compared against the full history via the
-band-hash index, never all-pairs.
+New-batch candidates come from the INCREMENTAL band-bucket state: only
+buckets touched by new files are processed, sized from the persisted
+stats deltas (sum/min merge on read) — each arriving file is compared
+against the history members of its own buckets, never all-pairs and
+never a full-history rescan (see _incremental_candidates).
 """
 
 from __future__ import annotations
@@ -32,7 +35,7 @@ from pyspark.sql import functions as F
 
 from codedup.config import DedupConfig
 from codedup.stages.banding import band_rows
-from codedup.stages.candidates import candidate_pairs
+from codedup.stages.candidates import _salted_pairs
 from codedup.stages.exact import representatives
 from codedup.stages.fingerprint import fingerprint
 from codedup.stages.ingest import FILES_SCHEMA
@@ -173,8 +176,10 @@ class IncrementalDedup:
         self.bands_dir = os.path.join(self.root, "bands")
         self.pairs_dir = os.path.join(self.root, "pairs")
         self.content_dir = os.path.join(self.root, "contents")
+        self.stats_dir = os.path.join(self.root, "bucket_stats")
         self.marker_dir = os.path.join(self.root, "_committed")
-        self._tables = (self.sig_dir, self.bands_dir, self.pairs_dir, self.content_dir)
+        self._tables = (self.sig_dir, self.bands_dir, self.pairs_dir,
+                        self.content_dir, self.stats_dir)
 
     # --- state access ---
     def _recover_compaction(self, path: str) -> None:
@@ -271,6 +276,11 @@ class IncrementalDedup:
             df = self._read_or_none(d)   # also runs recovery for d
             if df is None:
                 continue
+            if d == self.stats_dir:
+                # deltas fold with sum/min (associative), so the
+                # snapshot can pre-merge to one row per bucket
+                df = df.groupBy("band", "band_hash").agg(
+                    F.sum("cnt").alias("cnt"), F.min("rep").alias("rep"))
             before = sum(len(fs) for _, _, fs in os.walk(d))
             tmp, old = d + "._compact", d + "._old"
             df.coalesce(max(self.cfg.shuffle_partitions // 4, 1)) \
@@ -296,6 +306,137 @@ class IncrementalDedup:
                     " hamming int, lcs_frac double, kind string"
             )
         return df
+
+    def _bucket_stats(self) -> DataFrame | None:
+        """Merged per-(band, band_hash) bucket stats: the per-batch
+        DELTAS (cnt, rep) fold with sum/min on read — associative, so
+        the generic compact() snapshot (plain concatenation) stays
+        correct, and compact() additionally pre-merges this table.
+        Bootstraps from the bands table when resuming a pre-stats state
+        layout (one full scan, once)."""
+        s = self._read_or_none(self.stats_dir)
+        if s is not None:
+            return s
+        old_bands = self._read_or_none(self.bands_dir)
+        if old_bands is None:
+            return None
+        return old_bands.groupBy("band", "band_hash").agg(
+            F.count(F.lit(1)).alias("cnt"), F.min("file_id").alias("rep"))
+
+    def _incremental_candidates(self, new_bands: DataFrame,
+                                old_bands: DataFrame | None):
+        """-> (candidate pairs touching new files, this batch's stats
+        delta).  The incremental twin of stages.candidates.
+        candidate_pairs (VERDICT r4 #2):
+
+          * bucket SIZE and REP come from the persisted stats deltas
+            merged with this batch's counts — no window over history;
+          * only buckets touched by new files are processed at all
+            (untouched buckets' pairs were earlier batches' output);
+          * small buckets (merged size <= cap) fetch their old members
+            via a broadcast semi-join keyed on the touched-bucket set
+            and emit the complete new-touching pair set;
+          * salted/auto medium buckets do the same through the salt
+            spread (_salted_pairs — identical policy, complete
+            coverage);
+          * star-regime buckets (auto beyond cap*salt_buckets, or any
+            hot bucket in star mode) NEVER fetch members: new members
+            edge to the merged rep, and when a new file takes over as
+            rep a single (new_rep, old_rep) bridge keeps the component
+            connected — the boilerplate bucket every batch touches
+            costs O(new members in it), not O(bucket).
+
+        Per-batch shuffle volume is therefore ∝ this batch's bands +
+        members of touched non-star buckets, independent of history
+        size; history is only SCANNED (broadcast semi-join, no
+        exchange).  At 10^12 scale the bands state would be bucketed by
+        band_hash so even the scan prunes to touched buckets — same
+        logical plan."""
+        cfg = self.cfg
+        cap = cfg.band_bucket_cap
+        giant_at = cap * cfg.salt_buckets
+        new_stats = (
+            new_bands.groupBy("band", "band_hash")
+            .agg(F.count(F.lit(1)).alias("cnt"), F.min("file_id").alias("rep"))
+            .localCheckpoint(eager=True)
+        )
+        touched = new_stats.select("band", "band_hash")
+        old_stats = self._bucket_stats()
+        if old_stats is not None:
+            old_touched = (
+                old_stats.join(F.broadcast(touched), ["band", "band_hash"], "left_semi")
+                .groupBy("band", "band_hash")
+                .agg(F.sum("cnt").alias("cnt_old"), F.min("rep").alias("rep_old"))
+            )
+            tot = new_stats.join(old_touched, ["band", "band_hash"], "left")
+        else:
+            tot = new_stats.withColumn("cnt_old", F.lit(None).cast("long")) \
+                           .withColumn("rep_old", F.lit(None).cast("long"))
+        tot = (
+            tot.select(
+                "band", "band_hash",
+                (F.col("cnt") + F.coalesce(F.col("cnt_old"), F.lit(0))).alias("bsz"),
+                F.least(F.col("rep"), F.coalesce(F.col("rep_old"), F.col("rep")))
+                .alias("rep"),
+                "rep_old",
+            )
+            .filter(F.col("bsz") > 1)
+            .localCheckpoint(eager=True)   # small: one row per touched bucket
+        )
+        if cfg.hot_bucket_mode == "star":
+            star_cond = F.col("bsz") > cap
+        elif cfg.hot_bucket_mode == "auto":
+            star_cond = F.col("bsz") > giant_at
+        else:  # salted: complete coverage everywhere, no star regime
+            star_cond = F.lit(False)
+
+        # member-needing buckets: everything below the star regime
+        mkeys = tot.filter(~star_cond).select("band", "band_hash", "bsz")
+        members = new_bands.join(
+            F.broadcast(mkeys.select("band", "band_hash")),
+            ["band", "band_hash"], "left_semi")
+        if old_bands is not None:
+            members = members.unionByName(
+                old_bands.select(*new_bands.columns).join(
+                    F.broadcast(mkeys.select("band", "band_hash")),
+                    ["band", "band_hash"], "left_semi"))
+        sized = members.join(F.broadcast(mkeys), ["band", "band_hash"])
+        small = sized.filter(F.col("bsz") <= cap).select("band", "band_hash", "file_id")
+        pairs = (
+            small.alias("x").join(small.alias("y"), ["band", "band_hash"])
+            .filter(F.col("x.file_id") < F.col("y.file_id"))
+            .select(F.col("x.file_id").alias("a"), F.col("y.file_id").alias("b"))
+        )
+        hot_members = sized.filter(F.col("bsz") > cap)
+        pairs = pairs.unionByName(_salted_pairs(hot_members, cfg))
+
+        starb = tot.filter(star_cond)
+        star_new = (
+            new_bands.join(F.broadcast(starb.select("band", "band_hash", "rep")),
+                           ["band", "band_hash"])
+            .filter(F.col("file_id") != F.col("rep"))
+            .select(F.col("rep").alias("a"), F.col("file_id").alias("b"))
+        )
+        bridge = (
+            starb.filter(F.col("rep_old").isNotNull()
+                         & (F.col("rep") < F.col("rep_old")))
+            .select(F.col("rep").alias("a"), F.col("rep_old").alias("b"))
+        )
+        pairs = pairs.unionByName(star_new).unionByName(bridge) \
+            .dropDuplicates(["a", "b"])
+
+        # keep only pairs touching a NEW file (old x old inside touched
+        # small buckets were earlier batches' candidates)
+        new_ids = new_bands.select("file_id").distinct()
+        na = new_ids.select(F.col("file_id").alias("a")).withColumn("_na", F.lit(1))
+        nb = new_ids.select(F.col("file_id").alias("b")).withColumn("_nb", F.lit(1))
+        cands = (
+            pairs.join(F.broadcast(na), "a", "left")
+            .join(F.broadcast(nb), "b", "left")
+            .filter(F.col("_na").isNotNull() | F.col("_nb").isNotNull())
+            .drop("_na", "_nb")
+        )
+        return cands, new_stats
 
     # --- the batch function ---
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
@@ -326,33 +467,14 @@ class IncrementalDedup:
         new_bands = band_rows(new_sigs, cfg).localCheckpoint(eager=True)
 
         old_bands = self._read_or_none(self.bands_dir)
-        # Candidates: run the SAME skew-aware bucket policy as the batch
-        # path (candidate_pairs: star/salted/auto over hot buckets) on
-        # the FULL band table (new ∪ history), then keep only pairs
-        # touching at least one NEW file — old x old pairs were earlier
-        # batches' candidates.  The old form was a raw band equi-join
-        # new x history with NO bucket cap: a vendored/boilerplate
-        # family of n files was verified as a full O(n^2) clique spread
-        # across batches (measured: per-batch wall 16.8 s -> 142.7 s
-        # over 6 batches at the 355k tier), while the batch path's star
-        # policy keeps the same family O(n).  Re-running candidate_pairs
-        # over the union costs one linear scan of the band table per
-        # batch; at 10^12 scale the bucket stats would be maintained
-        # incrementally, same policy.
-        if old_bands is None:
-            cands = candidate_pairs(new_bands, cfg)
-        else:
-            all_bands = new_bands.unionByName(old_bands.select(*new_bands.columns))
-            allc = candidate_pairs(all_bands, cfg)
-            new_ids = new_bands.select("file_id").distinct()
-            na = new_ids.select(F.col("file_id").alias("a")).withColumn("_na", F.lit(1))
-            nb = new_ids.select(F.col("file_id").alias("b")).withColumn("_nb", F.lit(1))
-            cands = (
-                allc.join(F.broadcast(na), "a", "left")
-                .join(F.broadcast(nb), "b", "left")
-                .filter(F.col("_na").isNotNull() | F.col("_nb").isNotNull())
-                .drop("_na", "_nb")
-            )
+        # Candidates: INCREMENTAL band-bucket state (VERDICT r4 #2) —
+        # per-(band, band_hash) size/rep stats persist as per-batch
+        # deltas; only buckets TOUCHED by new files are processed, with
+        # the same small/salted/star policy as the batch path.  Replaces
+        # the r3 form (candidate_pairs over new ∪ FULL history, filtered
+        # to new-touching), whose per-batch window re-shuffled every
+        # history band row.
+        cands, new_stats = self._incremental_candidates(new_bands, old_bands)
         cands = cands.localCheckpoint(eager=True)   # feeds id-prune + verify
 
         # Verify joins must see content/signatures ∝ CANDIDATES, not the
@@ -380,6 +502,7 @@ class IncrementalDedup:
         self._stage_write(verified, self.pairs_dir, batch_id)
         self._stage_write(new_sigs, self.sig_dir, batch_id)
         self._stage_write(new_bands, self.bands_dir, batch_id)
+        self._stage_write(new_stats, self.stats_dir, batch_id)
         self._stage_write(new_reps.select("file_id", "content", "sha256"),
                           self.content_dir, batch_id)
         self._mark_committed(batch_id)

@@ -25,7 +25,8 @@ _FUZZED = ["doc_repetition_stats", "paragraph_dedup_stats", "doc_pii_scrub",
            "winnowing_pairs", "simhash_tokens", "lang_id_heuristic",
            "doc_category_rules", "doc_minhash_fingerprint",
            "dedup_ngram_jaccard", "dedup_containment", "doc_rarest_terms",
-           "bpe_token_stats", "paragraph_dedup_apply", "doc_fingerprint"]
+           "bpe_token_stats", "paragraph_dedup_apply", "doc_fingerprint",
+           "substring_dedup_apply"]
 
 _SETTINGS = settings(
     max_examples=4, deadline=None, derandomize=True,

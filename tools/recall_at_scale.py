@@ -1,7 +1,7 @@
 """Recall/precision vs constructed truth at bench scale.
 
 Usage: python tools/recall_at_scale.py <corpus_dir> [work_dir] [cores]
-           [--margin M] [--lcs-cap N]
+           [--margin M] [--lcs-cap N] [--no-lcs] [--pairs]
 
 --margin / --lcs-cap override DedupConfig.minhash_prefilter_margin and
 .lcs_max_chars — the two verify-stage budget knobs (VERDICT r3 #1:
@@ -10,14 +10,27 @@ script across a margin x cap grid and reports verify wall vs recall).
 
 corpus_dir must contain files.parquet + truth_clusters.parquet (written
 by codedup.fixtures.write_corpus).  Runs the pipeline (resuming from
-work_dir if given), then compares co-membership pair sets ENTIRELY in
-Spark (the pair sets are tens of millions of rows at 500k-base scale —
-never collected):
+work_dir if given), then scores the clustering against truth:
 
-    truth co-membership: truth_clusters self-join on truth_cluster_id
-    pred  co-membership: members self-join on cluster_id
+    truth co-membership: keys sharing a truth_cluster_id
+    pred  co-membership: truth keys sharing a predicted cluster_id
     recall    = |pred ∩ truth| / |truth|
     precision = |pred ∩ truth| / |pred restricted to truth keys|
+
+The DEFAULT accounting is COUNTING-BASED and EXACT (VERDICT r4 #1): a
+pair is in both sets iff its two keys share a (truth_cluster,
+pred_cluster) contingency cell, so
+
+    |pred ∩ truth| = sum over cells (t, c) of C(n_tc, 2)
+    |truth|        = sum over truth clusters  of C(n_t, 2)
+    |pred|_truthk  = sum over pred clusters   of C(m_c, 2)
+
+— one key-equi-join + two groupBy counts, O(files) shuffle rows.  The
+previous pair-materializing self-joins (O(sum n^2) rows — 314M at the
+1.78M tier, >600M at 3.55M) ran the sandbox out of shuffle disk at the
+3.55M tier; the counting form needs no pair rows at all, so it is the
+form a 10^12-file validation job would run.  ``--pairs`` keeps the old
+pair-join accounting for cross-checking (tests assert the two agree).
 
 Prints one JSON line with stage walls from the run's manifests.
 """
@@ -45,6 +58,46 @@ def co_pairs(df, key_col: str, cid_col: str):
     return a.join(b, "c").filter(F.col("ka") < F.col("kb")).select("ka", "kb")
 
 
+def _choose2_sum(df, *group_cols):
+    """sum over groups of C(n, 2) — the number of unordered
+    co-membership pairs, without materializing any.  Counts are bigint;
+    the sum is bounded by C(n_files, 2) < 2^63 for any corpus that fits
+    a filesystem, so plain bigint arithmetic is safe under ANSI."""
+    from pyspark.sql import functions as F
+
+    per = df.groupBy(*group_cols).agg(F.count("*").alias("n"))
+    row = per.select(
+        F.sum(F.expr("n * (n - 1) DIV 2")).cast("long").alias("p")
+    ).collect()[0]
+    return row.p or 0
+
+
+def score_counting(truth, members):
+    """(n_truth, n_pred, n_inter) via the contingency-count identity —
+    exact, O(files) shuffle rows, zero pair rows (see module doc)."""
+    from pyspark.sql import functions as F
+
+    # one equi-join on key: every truth key with its predicted cluster
+    joined = truth.select("key", "truth_cluster_id").join(
+        members.select("key", "cluster_id"), "key").localCheckpoint(eager=True)
+    n_truth = _choose2_sum(truth, "truth_cluster_id")
+    n_pred = _choose2_sum(joined, "cluster_id")
+    n_inter = _choose2_sum(joined, "truth_cluster_id", "cluster_id")
+    return n_truth, n_pred, n_inter
+
+
+def score_pairs(truth, members):
+    """(n_truth, n_pred, n_inter) via materialized pair self-joins —
+    the legacy cross-check path (O(sum n^2) shuffle rows)."""
+    truth_cc = co_pairs(truth, "key", "truth_cluster_id").localCheckpoint(eager=True)
+    members_t = members.join(truth.select("key"), "key", "left_semi")
+    pred = co_pairs(members_t, "key", "cluster_id").localCheckpoint(eager=True)
+    n_truth = truth_cc.count()
+    n_pred = pred.count()
+    n_inter = pred.join(truth_cc, ["ka", "kb"], "left_semi").count()
+    return n_truth, n_pred, n_inter
+
+
 def main() -> int:
     argv = list(sys.argv[1:])
     kw = {}
@@ -59,6 +112,9 @@ def main() -> int:
     if "--no-lcs" in argv:
         kw["lcs_signal"] = False
         argv.remove("--no-lcs")
+    use_pairs = "--pairs" in argv
+    if use_pairs:
+        argv.remove("--pairs")
     corpus = argv[0]
     work = argv[1] if len(argv) > 1 else None
     cores = argv[2] if len(argv) > 2 else "32"
@@ -79,15 +135,10 @@ def main() -> int:
     wall = time.time() - t0
 
     truth = spark.read.parquet(f"{corpus}/truth_clusters.parquet")
-    truth_cc = co_pairs(truth, "key", "truth_cluster_id").localCheckpoint(eager=True)
-    # restrict members to truth keys BEFORE pairing (precision is
-    # defined over truth keys; this also shrinks giant clusters first)
-    members_t = res.members.join(truth.select("key"), "key", "left_semi")
-    pred = co_pairs(members_t, "key", "cluster_id").localCheckpoint(eager=True)
-
-    n_truth = truth_cc.count()
-    n_pred = pred.count()
-    n_inter = pred.join(truth_cc, ["ka", "kb"], "left_semi").count()
+    t_score = time.time()
+    score = score_pairs if use_pairs else score_counting
+    n_truth, n_pred, n_inter = score(truth, res.members)
+    score_wall = time.time() - t_score
 
     stages = {}
     if work:
@@ -103,10 +154,13 @@ def main() -> int:
         "lcs_signal": cfg.lcs_signal,
         "wall_s": round(wall, 1),
         "files_per_sec": round(n / wall, 1),
+        "accounting": "pairs" if use_pairs else "counting",
+        "score_wall_s": round(score_wall, 1),
         "truth_pairs": n_truth,
         "pred_pairs": n_pred,
-        "recall": round(n_inter / n_truth, 6) if n_truth else 1.0,
-        "precision": round(n_inter / n_pred, 6) if n_pred else 1.0,
+        "inter_pairs": n_inter,
+        "recall": round(n_inter / n_truth, 9) if n_truth else 1.0,
+        "precision": round(n_inter / n_pred, 9) if n_pred else 1.0,
         "stages": stages,
     }))
     return 0
