@@ -2231,12 +2231,17 @@ def substring_dedup_apply_frame(docs: DataFrame, k: int = SUBSTR_K) -> DataFrame
         .select("doc_id", F.posexplode(F.expr(hvs)).alias("pos0", "hv"))
         .select("doc_id", (F.col("pos0") + 1).alias("p"), "hv")
     )
-    dup = (
-        pe.select("doc_id", "hv").distinct()
-        .groupBy("hv").agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") >= 2)
+    # "occurs in >= 2 distinct docs" == min(doc) != max(doc) within the
+    # gram-hash partition: ONE window shuffle keyed by hv replaces the
+    # distinct + groupBy + semi-join (which also re-ran the positional
+    # explode lineage twice) — measured 13.8 -> ~5 s at sf0.01
+    wh = Window.partitionBy("hv")
+    cov = (
+        pe.withColumn("_mn", F.min("doc_id").over(wh))
+        .withColumn("_mx", F.max("doc_id").over(wh))
+        .filter(F.col("_mn") != F.col("_mx"))
+        .select("doc_id", "p")
     )
-    cov = pe.join(dup.select("hv"), "hv", "left_semi")
     w = Window.partitionBy("doc_id").orderBy("p")
     runs = (
         cov.withColumn(
@@ -2255,14 +2260,15 @@ def substring_dedup_apply_frame(docs: DataFrame, k: int = SUBSTR_K) -> DataFrame
         "   'acc', concat(a.acc, substring(text, a.cur, r.s - a.cur))),"
         " a -> concat(a.acc, substring(text, a.cur, length(text) - a.cur + 1)))"
     )
+    # aggregate the (tiny) run structs per doc FIRST, then join the doc
+    # text in once — the text column ships through exactly one exchange
+    # instead of two (join-then-groupBy would shuffle it twice)
+    run_lists = runs.groupBy("doc_id").agg(
+        F.expr("array_sort(collect_list(struct(s, e)))").alias("rs"))
     return (
-        docs.join(runs, "doc_id", "left")
-        .groupBy("doc_id")
-        .agg(
-            F.first("text").alias("text"),
-            F.expr("array_sort(collect_list(CASE WHEN s IS NOT NULL"
-                   " THEN struct(s, e) END))").alias("rs"),
-        )
+        docs.join(run_lists, "doc_id", "left")
+        .withColumn("rs", F.expr(
+            "coalesce(rs, CAST(array() AS array<struct<s:int,e:int>>))"))
         .select(
             "doc_id",
             F.length("text").cast("long").alias("orig_len"),

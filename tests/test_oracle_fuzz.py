@@ -224,3 +224,94 @@ def test_doc_minhash_fingerprint_null_text(spark, tmp_path):
                   .itertuples(index=False)])
     assert got == want
     assert len(got) == 2          # NULL-text doc dropped on both sides
+
+
+# --- TPC/join family (VERDICT r4 #5): skewed keys, NULL-edge keys,
+# tie-heavy orderings.  Prices are quarter-integers (dyadic: f64 sums
+# and products with quarter discounts carry <= 2 decimals, so
+# round(,2) is engine-exact); order/line keys collide onto a small
+# customer pool to exercise skew; o_custkey/c_nationkey may be NULL
+# (orphan rows — anti/semi/inner join NULL-key semantics agree across
+# engines and must stay that way).
+
+_CUST_ROWS = st.lists(
+    st.tuples(st.integers(0, 5),                  # name pool index
+              st.one_of(st.none(), st.integers(0, 3))),   # nationkey
+    min_size=1, max_size=12,
+)
+_ORDER_ROWS = st.lists(
+    st.tuples(st.one_of(st.none(), st.integers(0, 14)),   # custkey (skewed)
+              st.sampled_from(["O", "F", "P"]),
+              st.integers(0, 1_600_000),          # totalprice quarters
+              st.integers(990, 1010)),            # orderkey base offset
+    min_size=1, max_size=30,
+)
+_LINE_ROWS = st.lists(
+    st.tuples(st.integers(-5, 5),                 # days around the cutoff
+              st.sampled_from(["A", "N", "R"]),
+              st.sampled_from(["O", "F"]),
+              st.integers(1, 50),                 # quantity
+              st.integers(0, 400_000),            # extendedprice quarters
+              st.integers(0, 4)),                 # discount quarters
+    min_size=1, max_size=30,
+)
+
+_TPC_QUERIES = ["pricing_summary", "top_orders_per_customer",
+                "customers_without_orders", "revenue_by_nation",
+                "big_customers_semi", "orders_keyset_page",
+                "nation_customer_sample"]
+
+
+def _write_tpc(d: str, custs, orders, lines) -> None:
+    import pandas as pd
+
+    cutoff = pd.Timestamp("1998-09-02")
+    pd.DataFrame({
+        "n_nationkey": [0, 1, 2, 3],
+        "n_name": ["ALGERIA", "BRAZIL", "CANADA", "CHINA"],
+    }).to_parquet(d + "/nation.parquet", index=False)
+    pd.DataFrame({
+        "c_custkey": range(len(custs)),
+        "c_name": [f"Customer#{n:03d}" for n, _ in custs],
+        "c_nationkey": pd.array([nk for _, nk in custs], dtype="Int64"),
+    }).to_parquet(d + "/customer.parquet", index=False)
+    pd.DataFrame({
+        # orderkeys straddle the keyset cursor (> 1000) to exercise it
+        "o_orderkey": [r[3] + 2 * i for i, r in enumerate(orders)],
+        "o_custkey": pd.array([r[0] for r in orders], dtype="Int64"),
+        "o_orderstatus": [r[1] for r in orders],
+        "o_totalprice": [r[2] / 4.0 for r in orders],
+    }).to_parquet(d + "/orders.parquet", index=False)
+    pd.DataFrame({
+        "l_shipdate": pd.to_datetime(
+            [cutoff + pd.Timedelta(days=r[0]) for r in lines]
+        ).astype("datetime64[us]"),
+        "l_returnflag": [r[1] for r in lines],
+        "l_linestatus": [r[2] for r in lines],
+        "l_quantity": [float(r[3]) for r in lines],
+        "l_extendedprice": [r[4] / 4.0 for r in lines],
+        "l_discount": [r[5] / 4.0 for r in lines],
+    }).to_parquet(d + "/lineitem.parquet", index=False)
+
+
+@pytest.mark.parametrize("qname", _TPC_QUERIES)
+def test_fuzz_tpc_family(spark, tmp_path_factory, qname):
+    run = [0]
+
+    @_SETTINGS
+    @given(_CUST_ROWS, _ORDER_ROWS, _LINE_ROWS)
+    def inner(custs, orders, lines):
+        run[0] += 1
+        d = str(tmp_path_factory.mktemp(f"fz_tpc_{qname}_{run[0]}"))
+        _write_tpc(d, custs, orders, lines)
+        got = _norm([tuple(r) for r in QUERIES[qname](spark, d).collect()])
+        con = duckdb.connect()
+        for t in ("nation", "customer", "orders", "lineitem"):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                        f"read_parquet('{d}/{t}.parquet')")
+        # fetchall, not fetchdf: pandas degrades nullable int columns
+        # to float64, turning NULL keys into 'nan' vs Spark's 'None'
+        want = _norm([tuple(r) for r in con.execute(ORACLES[qname]).fetchall()])
+        assert got == want, f"{qname} diverged on corpus {run[0]}"
+
+    inner()

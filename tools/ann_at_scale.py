@@ -17,8 +17,10 @@ Pipeline measured, in the exact shapes DESIGN_AT_SCALE.md claims:
 Prints one JSON line; results go to the embedding-tier section of
 BENCH/BASELINE.md.
 
-Usage: python tools/ann_at_scale.py [n] [dir] [cores]
-       (default n=1_000_000, dir=/tmp/codedup_emb_1m)
+Usage: python tools/ann_at_scale.py [n] [dir] [cores] [dim]
+       (default n=1_000_000, dir=/tmp/codedup_emb_1m, dim=64; the
+       768-dim tier models CLIP/sentence-transformer width — VERDICT
+       r4 #3)
 """
 
 from __future__ import annotations
@@ -75,6 +77,7 @@ def main() -> int:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/codedup_emb_1m"
     cores = sys.argv[3] if len(sys.argv) > 3 else "32"
+    dim = int(sys.argv[4]) if len(sys.argv) > 4 else 64
     probe_mod, k, nprobe = max(n // 1000, 1), 10, 10
     n_cells = max(int(math.sqrt(n)), 4)
 
@@ -83,9 +86,9 @@ def main() -> int:
 
     emb_path = os.path.join(out_dir, "embeddings.parquet")
     if not os.path.exists(emb_path):
-        print(f"# generating {n} x 64 embeddings ...", file=sys.stderr, flush=True)
+        print(f"# generating {n} x {dim} embeddings ...", file=sys.stderr, flush=True)
         t0 = time.time()
-        write_embeddings(out_dir, n)
+        write_embeddings(out_dir, n, dim=dim)
         print(f"# generated in {time.time() - t0:.1f}s", file=sys.stderr, flush=True)
 
     spark = build_session(f"local[{cores}]", app_name="ann-at-scale",
@@ -128,6 +131,16 @@ def main() -> int:
     n_probes = probes.count()
     scan_frac = n_cand / (n_probes * n)
 
+    # per-cell peak memory of the cogroup gemm (VERDICT r4 #3: state
+    # the memory math, don't imply it): the largest single task holds
+    # members (m x d f64) + probes (p x d f64) + the sim block (p x m
+    # f64); every cell's bound is computable from the assignment stats
+    probe_per_cell = px.groupBy("cell").agg(F.count("*").alias("np_"))
+    peak = (cell_sizes.join(probe_per_cell, "cell")
+            .select(((F.col("count") * dim * 8) + (F.col("np_") * dim * 8)
+                     + (F.col("np_") * F.col("count") * 8)).alias("bytes"))
+            .agg(F.max("bytes")).collect()[0][0]) or 0
+
     # recall@10 vs independent numpy truth
     print("# computing brute-force truth ...", file=sys.stderr, flush=True)
     t0 = time.time()
@@ -167,7 +180,7 @@ def main() -> int:
         dropped2.withColumnRenamed("vec_id", "b"), "b", "left_semi").count())
 
     print(json.dumps({
-        "n": n, "dim": 64, "n_cells": n_cells, "nprobe": nprobe, "k": k,
+        "n": n, "dim": dim, "n_cells": n_cells, "nprobe": nprobe, "k": k,
         "train_s": round(train_s, 1),
         "assign_s": round(assign_s, 1),
         "assigned_rows": n_assigned,
@@ -175,6 +188,7 @@ def main() -> int:
         "median_cell": float(stats.med_cell),
         "search_s": round(search_s, 1), "n_probes": n_probes,
         "scan_frac": round(scan_frac, 5),
+        "peak_cogroup_task_mb": round(peak / 1e6, 1),
         "recall_at_10": round(recall, 4),
         "truth_numpy_s": round(truth_s, 1),
         "semdedup_s": round(sem_s, 1),

@@ -13,7 +13,13 @@ growth bound is visible.
 Prints one JSON line; feeds the streaming section of BENCH/BASELINE.md.
 
 Usage: python tools/streaming_at_scale.py <corpus_dir> [n_batches]
-       [cores] [--work DIR]
+       [cores] [--work DIR] [--stream-shuffle N]
+
+--stream-shuffle sizes the STREAMING side's shuffle width to the
+per-batch data volume (measured at 355k/20: width 128 -> 24 s/batch,
+64 -> 19 s, 32 -> 14-18 s steady state; the batch leg keeps 128).  At
+10^12 scale the same rule applies per executor-count: width follows
+the micro-batch, not the corpus.
 """
 
 from __future__ import annotations
@@ -45,6 +51,11 @@ def main() -> int:
     if "--work" in argv:
         i = argv.index("--work")
         work_root = argv[i + 1]
+        del argv[i:i + 2]
+    stream_shuffle = 128
+    if "--stream-shuffle" in argv:
+        i = argv.index("--stream-shuffle")
+        stream_shuffle = int(argv[i + 1])
         del argv[i:i + 2]
     corpus = argv[0]
     n_batches = int(argv[1]) if len(argv) > 1 else 20
@@ -80,7 +91,9 @@ def main() -> int:
             staged.filter(F.col("_b") == b).drop("_b").coalesce(4) \
                 .write.mode("overwrite").parquet(os.path.join(drops_dir, f"d{b:03d}"))
 
-    inc = IncrementalDedup(spark, stream_work, cfg, compact_every=8)
+    stream_cfg = DedupConfig(shuffle_partitions=stream_shuffle)
+    spark.conf.set("spark.sql.shuffle.partitions", str(stream_shuffle))
+    inc = IncrementalDedup(spark, stream_work, stream_cfg, compact_every=8)
     batch_walls, state_sizes = [], []
     t_stream0 = time.time()
     for b in range(n_batches):
@@ -91,6 +104,15 @@ def main() -> int:
         print(f"# batch {b}: {batch_walls[-1]}s state={state_sizes[-1]/1e6:.0f}MB",
               file=sys.stderr, flush=True)
     stream_wall = time.time() - t_stream0
+
+    # release the streaming batches' checkpoint blocks before the batch
+    # leg (20+ batches of dead eager-checkpoint refs otherwise sit in
+    # storage memory until the ContextCleaner happens to run — measured
+    # GCLocker-starvation OOM in the comparison leg at 355k/20x128)
+    import gc
+    gc.collect()
+    spark.sparkContext._jvm.System.gc()
+    spark.conf.set("spark.sql.shuffle.partitions", "128")
 
     # batch pipeline over the SAME corpus
     t0 = time.time()
@@ -138,6 +160,7 @@ def main() -> int:
     print(json.dumps({
         "files": n_files,
         "n_batches": n_batches,
+        "stream_shuffle": stream_shuffle,
         "stream_wall_s": round(stream_wall, 1),
         "batch_wall_s": round(batch_wall, 1),
         "stream_files_per_sec": round(n_files / stream_wall, 1),
