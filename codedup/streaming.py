@@ -320,8 +320,17 @@ class IncrementalDedup:
         old_bands = self._read_or_none(self.bands_dir)
         if old_bands is None:
             return None
-        return old_bands.groupBy("band", "band_hash").agg(
+        boot = old_bands.groupBy("band", "band_hash").agg(
             F.count(F.lit(1)).alias("cnt"), F.min("file_id").alias("rep"))
+        # PERSIST the bootstrap as the batch_id=-1 snapshot: if it only
+        # lived in this batch's memory, the next batch would see a
+        # stats dir holding nothing but this batch's delta and
+        # undercount every pre-stats bucket (wrong size policy, wrong
+        # rep) — the bootstrap must enter the merge-on-read lineage
+        boot.repartition(max(self.cfg.shuffle_partitions // 16, 2)) \
+            .write.mode("overwrite").parquet(
+                os.path.join(self.stats_dir, "batch_id=-1"))
+        return self._read_or_none(self.stats_dir)
 
     def _incremental_candidates(self, new_bands: DataFrame,
                                 old_bands: DataFrame | None):

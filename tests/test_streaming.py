@@ -297,3 +297,44 @@ def test_compact_survives_crash_replay_loop(committed_stream, spark, drops):
     # replayed batch after all that is still a no-op
     inc.process_batch(spark.read.parquet(drops["paths"][0]), 0)
     assert _pair_set(inc) == want
+
+
+def test_pre_stats_layout_bootstraps_and_persists(spark, drops, cfg, tmp_path):
+    """Resuming a state layout from before the bucket_stats table
+    existed must (a) bootstrap the stats from the bands table, (b)
+    PERSIST the bootstrap so later batches see pre-stats history counts
+    (not just post-upgrade deltas), and (c) produce the same cumulative
+    pair set as an uninterrupted stream."""
+    import shutil
+
+    # uninterrupted reference stream over all 3 drops
+    ref = IncrementalDedup(spark, str(tmp_path / "ref"), cfg)
+    for i, p in enumerate(drops["paths"]):
+        ref.process_batch(spark.read.parquet(p), i)
+    want = {(r.a, r.b) for r in ref.pairs().collect()}
+
+    # "old layout": run 2 batches, then delete the stats table
+    inc = IncrementalDedup(spark, str(tmp_path / "up"), cfg)
+    for i in range(2):
+        inc.process_batch(spark.read.parquet(drops["paths"][i]), i)
+    shutil.rmtree(inc.stats_dir)
+    # batch 2 on the degraded layout: bootstrap fires
+    inc.process_batch(spark.read.parquet(drops["paths"][2]), 2)
+    assert os.path.isdir(os.path.join(inc.stats_dir, "batch_id=-1"))  # persisted
+    got = {(r.a, r.b) for r in inc.pairs().collect()}
+    assert got == want
+
+    # the persisted bootstrap must carry PRE-stats history counts: the
+    # merged stats totals equal a fresh groupBy over the bands table
+    from pyspark.sql import functions as F
+
+    bands = inc._read_or_none(inc.bands_dir)
+    fresh = {(r.band, r.band_hash): (r.cnt, r.rep) for r in
+             bands.groupBy("band", "band_hash")
+             .agg(F.count(F.lit(1)).alias("cnt"), F.min("file_id").alias("rep"))
+             .collect()}
+    merged = {(r.band, r.band_hash): (r.cnt, r.rep) for r in
+              inc._bucket_stats().groupBy("band", "band_hash")
+              .agg(F.sum("cnt").alias("cnt"), F.min("rep").alias("rep"))
+              .collect()}
+    assert merged == fresh

@@ -91,8 +91,13 @@ def main() -> int:
         write_embeddings(out_dir, n, dim=dim)
         print(f"# generated in {time.time() - t0:.1f}s", file=sys.stderr, flush=True)
 
+    # 768-dim x 1M = ~3 GB of raw vectors resident through assignment/
+    # SemDeDup + 32 concurrent parquet list-column decoders: the 8g
+    # default heap OOMs (measured) — size the single-JVM heap like the
+    # sum of executors it stands in for
     spark = build_session(f"local[{cores}]", app_name="ann-at-scale",
-                          shuffle_partitions=max(int(cores), 8))
+                          shuffle_partitions=max(int(cores), 8),
+                          extra={"spark.driver.memory": "48g"})
     spark.sparkContext.setLogLevel("ERROR")
     from pyspark.sql import functions as F
 
@@ -149,6 +154,8 @@ def main() -> int:
     hits = sum(len(by_q.get(q, set()) & t) for q, t in truth.items())
     total = sum(len(t) for t in truth.values())
     recall = hits / total if total else 1.0
+    print(f"# recall@{k} = {recall:.4f} (search {search_s:.1f}s, "
+          f"scan_frac {scan_frac:.5f})", file=sys.stderr, flush=True)
 
     # 4. SemDeDup over the same assignment; drop-rate vs planted truth
     t0 = time.time()

@@ -138,23 +138,30 @@ def main() -> int:
     )
     stream_cc = connected_components(stream_edges, cfg).localCheckpoint(eager=True)
 
-    def sha_copairs(members_df, fp_df, id_col, cid_col):
-        sh = fp_df.select(F.col("file_id").alias(id_col), "sha256")
-        m = members_df.join(sh, id_col).select("sha256", F.col(cid_col).alias("c"))
-        # exact-dup members share a sha; distinct first so co-pairs are
-        # over distinct contents
-        m = m.distinct()
-        x = m.select(F.col("sha256").alias("x"), "c")
-        y = m.select(F.col("sha256").alias("y"), "c")
-        return (x.join(y, "c").filter(F.col("x") < F.col("y"))
-                .select("x", "y").distinct())
+    # COUNTING-based co-membership compare (same identity as
+    # tools/recall_at_scale.py): |pairs| = sum C(n,2) over cluster
+    # (or contingency-cell) sha counts — O(files) shuffle rows instead
+    # of materializing tens of millions of pair rows (the old pair-join
+    # form OOMed the 8g driver at the 888k tier).  Each side's total is
+    # counted over its OWN membership (not the joined table), so a sha
+    # clustered by only one side still contributes its pairs.
+    def sha_members(members_df, fp_df, cid_col, out):
+        sh = fp_df.select("file_id", "sha256")
+        return (members_df.join(sh, "file_id")
+                .select("sha256", F.col(cid_col).alias(out)).distinct())
 
-    got = sha_copairs(stream_cc, stream_fp, "file_id", "cluster_id") \
+    def c2(df, *cols):
+        per = df.groupBy(*cols).agg(F.count("*").alias("n"))
+        return (per.select(F.sum(F.expr("n * (n - 1) DIV 2"))
+                           .cast("long").alias("p")).collect()[0].p or 0)
+
+    sm = sha_members(stream_cc, stream_fp, "cluster_id", "cs") \
         .localCheckpoint(eager=True)
-    want = sha_copairs(res.clusters, res.fingerprints, "file_id", "cluster_id") \
+    bm = sha_members(res.clusters, res.fingerprints, "cluster_id", "cb") \
         .localCheckpoint(eager=True)
-    n_got, n_want = got.count(), want.count()
-    n_inter = got.join(want, ["x", "y"], "left_semi").count()
+    joined = sm.join(bm, "sha256").localCheckpoint(eager=True)
+    n_got, n_want = c2(sm, "cs"), c2(bm, "cb")
+    n_inter = c2(joined, "cs", "cb")
     equal = n_got == n_want == n_inter
 
     print(json.dumps({
