@@ -26,7 +26,7 @@ _FUZZED = ["doc_repetition_stats", "paragraph_dedup_stats", "doc_pii_scrub",
            "doc_category_rules", "doc_minhash_fingerprint",
            "dedup_ngram_jaccard", "dedup_containment", "doc_rarest_terms",
            "bpe_token_stats", "paragraph_dedup_apply", "doc_fingerprint",
-           "substring_dedup_apply"]
+           "substring_dedup_apply", "dedup_exact", "dedup_minhash_lsh"]
 
 _SETTINGS = settings(
     max_examples=4, deadline=None, derandomize=True,
@@ -312,6 +312,67 @@ def test_fuzz_tpc_family(spark, tmp_path_factory, qname):
         # fetchall, not fetchdf: pandas degrades nullable int columns
         # to float64, turning NULL keys into 'nan' vs Spark's 'None'
         want = _norm([tuple(r) for r in con.execute(ORACLES[qname]).fetchall()])
+        assert got == want, f"{qname} diverged on corpus {run[0]}"
+
+    inner()
+
+
+# --- the last unfuzzed queries (r5): varied langs + planted near-dups ---
+
+_LANG_DOCS = st.lists(
+    st.tuples(st.sampled_from(["en", "es", "fr", "de", ""]),
+              st.text(alphabet=_CHARS, max_size=60)),
+    min_size=1, max_size=10,
+)
+
+
+def test_fuzz_token_count_by_lang(spark, tmp_path_factory):
+    run = [0]
+
+    @_SETTINGS
+    @given(_LANG_DOCS)
+    def inner(rows):
+        run[0] += 1
+        d = str(tmp_path_factory.mktemp(f"fz_lang_{run[0]}"))
+        data = [(i, lang, t) for i, (lang, t) in enumerate(rows)]
+        spark.createDataFrame(data, "doc_id long, lang string, text string") \
+            .coalesce(1).write.mode("overwrite").parquet(d + "/documents.parquet")
+        got = _norm([tuple(r) for r in
+                     QUERIES["token_count_by_lang"](spark, d).collect()])
+        want = _norm([tuple(r) for r in
+                      _oracle(d, ORACLES["token_count_by_lang"])
+                      .itertuples(index=False)])
+        assert got == want
+
+    inner()
+
+
+# near-dup cluster family: random texts never share enough 8-grams to
+# form LSH pairs, so the CC queries would fuzz only the empty case —
+# plant mutated copies (prefix-preserving suffix edit at J >= ~0.9) so
+# connected components / savings actually traverse edges
+_CC_BASE = st.lists(st.text(alphabet=_CHARS, min_size=40, max_size=80),
+                    min_size=1, max_size=4)
+
+
+@pytest.mark.parametrize("qname", ["dedup_clusters", "cluster_savings"])
+def test_fuzz_cc_family_planted(spark, tmp_path_factory, qname):
+    run = [0]
+
+    @_SETTINGS
+    @given(_CC_BASE)
+    def inner(bases):
+        run[0] += 1
+        d = str(tmp_path_factory.mktemp(f"fz_cc_{qname}_{run[0]}"))
+        texts = []
+        for t in bases:
+            texts.append(t)
+            texts.append(t + "x")          # near-dup (suffix edit)
+            texts.append(t)                # exact dup too
+        _write_corpus(spark, d, texts)
+        got = _norm([tuple(r) for r in QUERIES[qname](spark, d).collect()])
+        want = _norm([tuple(r) for r in
+                      _oracle(d, ORACLES[qname]).itertuples(index=False)])
         assert got == want, f"{qname} diverged on corpus {run[0]}"
 
     inner()
