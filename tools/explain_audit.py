@@ -126,6 +126,8 @@ def main() -> int:
                 QUERIES["embedding_similar_pairs"](spark, SF), expect_no_python=False)
     ok &= audit("query: doc_category_rules (single-pass rule tree)",
                 QUERIES["doc_category_rules"](spark, SF))
+    ok &= audit("query: substring_dedup_apply (ExactSubstr splice, pure JVM)",
+                QUERIES["substring_dedup_apply"](spark, SF))
     ok &= audit("query: orders_keyset_page (serving filter + keyset page)",
                 QUERIES["orders_keyset_page"](spark, SF))
 
