@@ -2,6 +2,12 @@
 
 Usage: python tools/recall_at_scale.py <corpus_dir> [work_dir] [cores]
            [--margin M] [--lcs-cap N] [--no-lcs] [--pairs]
+           [--shuffle N] [--driver-mem G]
+
+--shuffle (default 128) sizes cfg/session shuffle partitions to the
+tier; --driver-mem (default 8g) raises the local-mode heap for tiers
+past ~4M files (the 768-dim ANN tier taught that 8g dies on wide
+concurrent parquet decodes — same lesson applies as file count grows).
 
 --margin / --lcs-cap override DedupConfig.minhash_prefilter_margin and
 .lcs_max_chars — the two verify-stage budget knobs (VERDICT r3 #1:
@@ -115,6 +121,16 @@ def main() -> int:
     use_pairs = "--pairs" in argv
     if use_pairs:
         argv.remove("--pairs")
+    shuffle = 128
+    if "--shuffle" in argv:
+        i = argv.index("--shuffle")
+        shuffle = int(argv[i + 1])
+        del argv[i:i + 2]
+    driver_mem = "8g"
+    if "--driver-mem" in argv:
+        i = argv.index("--driver-mem")
+        driver_mem = argv[i + 1]
+        del argv[i:i + 2]
     corpus = argv[0]
     work = argv[1] if len(argv) > 1 else None
     cores = argv[2] if len(argv) > 2 else "32"
@@ -123,9 +139,10 @@ def main() -> int:
     from codedup.config import DedupConfig
     from codedup.session import build_session
 
-    cfg = DedupConfig(shuffle_partitions=128, **kw)
+    cfg = DedupConfig(shuffle_partitions=shuffle, **kw)
     spark = build_session(f"local[{cores}]", app_name="recall-at-scale",
-                          shuffle_partitions=128)
+                          shuffle_partitions=shuffle,
+                          extra={"spark.driver.memory": driver_mem})
     spark.sparkContext.setLogLevel("ERROR")
     n = spark.read.parquet(f"{corpus}/files.parquet").count()
 
