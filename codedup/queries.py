@@ -2037,6 +2037,190 @@ FROM documents
 """
 
 
+# Benchmark decontamination (GPT-3 appendix C / Llama 2 §A.6: flag
+# training docs sharing any token n-gram with an evaluation set; both
+# use 8-13-token grams — 8 here, scaled to the corpus' short docs).
+_DECON_K = 8
+_DECON_EVAL_SOURCE = "src0"
+
+
+def q_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination sweep (GPT-3, Brown et al. 2020
+    arXiv:2005.14165 appendix C; Llama 2, Touvron et al. 2023 §A.6):
+    docs from one source act as the held-out benchmark; every other
+    (training) doc reports how many of its distinct token 8-grams also
+    occur in the benchmark, as a count and as ppm of its gram set.
+
+    Scale shape: the benchmark side is small by construction (eval
+    suites are MBs against a 100 TB corpus), so its distinct-gram set
+    broadcasts; the train side is a map-only gram expansion feeding a
+    broadcast hash join + per-doc partial count — no wide shuffle of
+    corpus text.  At 10^12 files the grams would be hashed (xxhash64)
+    before the join to cut the broadcast bytes; kept as strings here so
+    the DuckDB oracle verifies the grams themselves."""
+    docs = _t(spark, sf_dir, "documents")
+    grams = (f"CASE WHEN size(tk) >= {_DECON_K} THEN array_distinct("
+             f"transform(sequence(1, size(tk) - {_DECON_K - 1}),"
+             f" i -> concat_ws(' ', slice(tk, i, {_DECON_K}))))"
+             " ELSE array() END")
+    base = (
+        docs.select("doc_id", "source", F.expr(_TOKENS).alias("tk"))
+        .select("doc_id", "source", F.expr(grams).alias("gr"))
+    )
+    ev = (
+        base.filter(F.col("source") == _DECON_EVAL_SOURCE)
+        .select(F.explode("gr").alias("gram")).distinct()
+    )
+    train = base.filter(F.col("source") != _DECON_EVAL_SOURCE)
+    # gr is distinct per doc and ev is distinct, so count(*) after the
+    # inner join is exactly the number of distinct contaminated grams
+    hits = (
+        train.select("doc_id", F.explode("gr").alias("gram"))
+        .join(F.broadcast(ev), "gram")
+        .groupBy("doc_id").agg(F.count("*").alias("h"))
+    )
+    return (
+        train.select("doc_id", F.expr("size(gr)").cast("long").alias("n_grams"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id", "n_grams",
+            F.coalesce("h", F.lit(0)).cast("long").alias("hit_grams"),
+            F.expr("CASE WHEN n_grams = 0 THEN 0"
+                   " ELSE (coalesce(h, 0) * 1000000) div n_grams END")
+            .cast("long").alias("contam_ppm"),
+            F.expr("CASE WHEN coalesce(h, 0) > 0 THEN 1 ELSE 0 END")
+            .cast("long").alias("contaminated"),
+        )
+    )
+
+
+SQL_DECONTAMINATE_NGRAM = f"""
+WITH base AS (
+  SELECT doc_id, source,
+         (CASE WHEN len(tk) >= {_DECON_K}
+               THEN list_distinct(list_transform(
+                      generate_series(1, len(tk) - {_DECON_K - 1}),
+                      i -> array_to_string(list_slice(tk, i, i + {_DECON_K - 1}), ' ')))
+               ELSE []::VARCHAR[] END) AS gr
+  FROM (SELECT doc_id, source,
+               list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
+        FROM documents)
+), ev AS (
+  SELECT DISTINCT unnest(gr) AS gram FROM base WHERE source = '{_DECON_EVAL_SOURCE}'
+), train AS (
+  SELECT doc_id, gr FROM base WHERE source <> '{_DECON_EVAL_SOURCE}'
+), hits AS (
+  SELECT doc_id, count(*) AS h
+  FROM (SELECT doc_id, unnest(gr) AS gram FROM train) t
+  JOIN ev USING (gram)
+  GROUP BY 1
+)
+SELECT tr.doc_id, len(tr.gr)::BIGINT AS n_grams,
+       coalesce(h.h, 0)::BIGINT AS hit_grams,
+       (CASE WHEN len(tr.gr) = 0 THEN 0
+             ELSE (coalesce(h.h, 0) * 1000000) // len(tr.gr) END)::BIGINT AS contam_ppm,
+       (CASE WHEN coalesce(h.h, 0) > 0 THEN 1 ELSE 0 END)::BIGINT AS contaminated
+FROM train tr LEFT JOIN hits h USING (doc_id)
+"""
+
+
+# Gopher quality-filter rule constants (Rae et al. 2021 §A1.1, scaled
+# to this corpus' short docs): word-count bounds, mean-word-length
+# bounds (centi-chars), max top-token mass (ppm), min distinct
+# stopwords present
+_GQ_MIN_WORDS, _GQ_MAX_WORDS = 20, 10000
+_GQ_MIN_MWL, _GQ_MAX_MWL = 300, 1000
+_GQ_MAX_TOP_TOKEN_PPM = 200000
+_GQ_STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "it")
+_GQ_MIN_STOP = 2
+
+
+def q_gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style composite quality filter (Rae et al. 2021, arXiv:
+    2112.11446 §A1.1): per document — word count, mean word length
+    (centi-chars), most-frequent-token mass (ppm), distinct stopwords
+    present — each gated by the published rule family, emitting a
+    fail-rule bitmask (1=word count, 2=mean word length, 4=top-token
+    mass, 8=stopwords) and keep = (mask == 0).
+
+    Scale shape: entirely map-only — zero shuffles, zero joins; every
+    signal is a higher-order array function over the token array, so
+    the filter runs at scan speed and pushes straight onto a 100 TB
+    pipeline's ingest pass.  The top-token scan is O(distinct x tokens)
+    per row; at web-document lengths the token array would be truncated
+    to a fixed prefix (Gopher's signals saturate quickly) to bound it."""
+    docs = _t(spark, sf_dir, "documents")
+    stop_lit = ", ".join(f"'{s}'" for s in _GQ_STOPWORDS)
+    base = docs.select(
+        "doc_id",
+        F.expr(_TOKENS).alias("tk"),
+    ).select(
+        "doc_id",
+        F.expr("size(tk)").cast("long").alias("n_words"),
+        F.expr("CASE WHEN size(tk) = 0 THEN 0 ELSE"
+               " (aggregate(tk, 0L, (acc, x) -> acc + length(x)) * 100)"
+               " div size(tk) END").cast("long").alias("mean_word_len_centi"),
+        F.expr("CASE WHEN size(tk) = 0 THEN 0 ELSE"
+               " (array_max(transform(array_distinct(tk),"
+               "   x -> size(filter(tk, y -> y = x)))) * 1000000)"
+               " div size(tk) END").cast("long").alias("top_token_ppm"),
+        F.expr(f"size(array_intersect(array_distinct(tk), array({stop_lit})))")
+        .cast("long").alias("n_stop"),
+    )
+    mask = (
+        f"(CASE WHEN n_words < {_GQ_MIN_WORDS} OR n_words > {_GQ_MAX_WORDS}"
+        "  THEN 1 ELSE 0 END)"
+        f" + (CASE WHEN mean_word_len_centi < {_GQ_MIN_MWL}"
+        f"     OR mean_word_len_centi > {_GQ_MAX_MWL} THEN 2 ELSE 0 END)"
+        f" + (CASE WHEN top_token_ppm > {_GQ_MAX_TOP_TOKEN_PPM} THEN 4 ELSE 0 END)"
+        f" + (CASE WHEN n_stop < {_GQ_MIN_STOP} THEN 8 ELSE 0 END)"
+    )
+    return base.select(
+        "doc_id", "n_words", "mean_word_len_centi", "top_token_ppm", "n_stop",
+        F.expr(mask).cast("long").alias("fail_mask"),
+        F.expr(f"CASE WHEN ({mask}) = 0 THEN 1 ELSE 0 END")
+        .cast("long").alias("keep"),
+    )
+
+
+def _sql_gopher_quality_filter() -> str:
+    stop_lit = ", ".join(f"'{s}'" for s in _GQ_STOPWORDS)
+    mask = (
+        f"(CASE WHEN n_words < {_GQ_MIN_WORDS} OR n_words > {_GQ_MAX_WORDS}"
+        "  THEN 1 ELSE 0 END)"
+        f" + (CASE WHEN mean_word_len_centi < {_GQ_MIN_MWL}"
+        f"     OR mean_word_len_centi > {_GQ_MAX_MWL} THEN 2 ELSE 0 END)"
+        f" + (CASE WHEN top_token_ppm > {_GQ_MAX_TOP_TOKEN_PPM} THEN 4 ELSE 0 END)"
+        f" + (CASE WHEN n_stop < {_GQ_MIN_STOP} THEN 8 ELSE 0 END)"
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
+  FROM documents
+), sig AS (
+  SELECT doc_id,
+         len(tk)::BIGINT AS n_words,
+         (CASE WHEN len(tk) = 0 THEN 0 ELSE
+            (list_sum(list_transform(tk, x -> len(x))) * 100) // len(tk)
+          END)::BIGINT AS mean_word_len_centi,
+         (CASE WHEN len(tk) = 0 THEN 0 ELSE
+            (list_max(list_transform(list_distinct(tk),
+               x -> len(list_filter(tk, y -> y = x)))) * 1000000) // len(tk)
+          END)::BIGINT AS top_token_ppm,
+         len(list_intersect(list_distinct(tk), [{stop_lit}]))::BIGINT AS n_stop
+  FROM base
+)
+SELECT doc_id, n_words, mean_word_len_centi, top_token_ppm, n_stop,
+       ({mask})::BIGINT AS fail_mask,
+       (CASE WHEN ({mask}) = 0 THEN 1 ELSE 0 END)::BIGINT AS keep
+FROM sig
+"""
+
+
+SQL_GOPHER_QUALITY_FILTER = _sql_gopher_quality_filter()
+
+
 def q_paragraph_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document duplicated-paragraph mass (the CCNet/RefinedWeb
     sub-document dedup signal — boilerplate paragraphs repeated across
@@ -2564,6 +2748,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "paragraph_dedup_apply": q_paragraph_dedup_apply,
     "substring_dedup_apply": q_substring_dedup_apply,
     "doc_pii_scrub": q_doc_pii_scrub,
+    "decontaminate_ngram": q_decontaminate_ngram,
+    "gopher_quality_filter": q_gopher_quality_filter,
     "pricing_summary": q_pricing_summary,
     "top_orders_per_customer": q_top_orders_per_customer,
     "customers_without_orders": q_customers_without_orders,
@@ -2608,6 +2794,8 @@ ORACLES: dict[str, str] = {
     "paragraph_dedup_apply": SQL_PARAGRAPH_DEDUP_APPLY,
     "substring_dedup_apply": SQL_SUBSTRING_DEDUP_APPLY,
     "doc_pii_scrub": SQL_DOC_PII_SCRUB,
+    "decontaminate_ngram": SQL_DECONTAMINATE_NGRAM,
+    "gopher_quality_filter": SQL_GOPHER_QUALITY_FILTER,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "top_orders_per_customer": SQL_TOP_ORDERS_PER_CUSTOMER,
     "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,

@@ -122,3 +122,28 @@ def test_substring_dedup_apply_is_pure_jvm(spark):
     _assert_pure(df, "substring_dedup_apply")
     plan = _plan(df)
     assert plan.count("Window") >= 2      # hv dup-window + doc run-window
+
+
+def test_gopher_quality_filter_is_shuffle_free(spark):
+    """The Gopher composite filter must be map-only: pure JVM (no Arrow
+    boundary) AND zero exchanges — every signal is a higher-order array
+    function over the scan, so the filter runs at ingest speed."""
+    from codedup.queries import q_gopher_quality_filter
+
+    df = q_gopher_quality_filter(spark, "/root/testdata/sf0.001")
+    _assert_pure(df, "gopher_quality_filter")
+    plan = _plan(df)
+    assert "Exchange" not in plan, f"quality filter shuffles:\n{plan}"
+
+
+def test_decontaminate_broadcasts_eval_grams(spark):
+    """The decontamination sweep must hash-join the (small) eval gram
+    set as a BROADCAST — a shuffle join would move the full train-side
+    gram expansion; a nested-loop join would be quadratic."""
+    from codedup.queries import q_decontaminate_ngram
+
+    df = q_decontaminate_ngram(spark, "/root/testdata/sf0.001")
+    _assert_pure(df, "decontaminate_ngram")
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan

@@ -26,7 +26,8 @@ _FUZZED = ["doc_repetition_stats", "paragraph_dedup_stats", "doc_pii_scrub",
            "doc_category_rules", "doc_minhash_fingerprint",
            "dedup_ngram_jaccard", "dedup_containment", "doc_rarest_terms",
            "bpe_token_stats", "paragraph_dedup_apply", "doc_fingerprint",
-           "substring_dedup_apply", "dedup_exact", "dedup_minhash_lsh"]
+           "substring_dedup_apply", "dedup_exact", "dedup_minhash_lsh",
+           "gopher_quality_filter"]
 
 _SETTINGS = settings(
     max_examples=4, deadline=None, derandomize=True,
@@ -374,5 +375,48 @@ def test_fuzz_cc_family_planted(spark, tmp_path_factory, qname):
         want = _norm([tuple(r) for r in
                       _oracle(d, ORACLES[qname]).itertuples(index=False)])
         assert got == want, f"{qname} diverged on corpus {run[0]}"
+
+    inner()
+
+
+# --- decontamination family: needs a source column + gram collisions ---
+
+# tiny vocab so token 8-grams genuinely collide across docs; doc = a
+# window into a shared word stream per example
+_DECON_DOCS = st.lists(
+    st.tuples(
+        st.sampled_from(["src0", "src1", "src2"]),
+        st.integers(0, 30),                     # offset into the stream
+        st.integers(0, 24),                     # doc length in tokens
+    ),
+    min_size=1, max_size=8,
+)
+_DECON_STREAM = st.lists(
+    st.sampled_from(["a", "b", "c", "the", "x"]), min_size=1, max_size=60)
+
+
+def test_fuzz_decontaminate_ngram(spark, tmp_path_factory):
+    from codedup.queries import ORACLES, QUERIES
+
+    run = [0]
+
+    @_SETTINGS
+    @given(_DECON_STREAM, _DECON_DOCS)
+    def inner(stream, docs):
+        run[0] += 1
+        d = str(tmp_path_factory.mktemp(f"fz_decon_{run[0]}"))
+        rows = []
+        for i, (src, off, n) in enumerate(docs):
+            toks = (stream * 3)[off:off + n]    # overlapping windows share grams
+            rows.append((i, "en", src, " ".join(toks)))
+        spark.createDataFrame(
+            rows, "doc_id long, lang string, source string, text string"
+        ).coalesce(1).write.mode("overwrite").parquet(d + "/documents.parquet")
+        got = _norm([tuple(r) for r in
+                     QUERIES["decontaminate_ngram"](spark, d).collect()])
+        want = _norm([tuple(r) for r in
+                      _oracle(d, ORACLES["decontaminate_ngram"])
+                      .itertuples(index=False)])
+        assert got == want, f"decontaminate_ngram diverged on corpus {run[0]}"
 
     inner()

@@ -1,0 +1,93 @@
+"""Planted-expectation tests for the training-data hygiene filters:
+benchmark decontamination (token 8-gram overlap with an eval source)
+and the Gopher composite quality rules.  Expectations are hand-derived
+from the published rule definitions, independent of the DuckDB oracle
+(the fuzz suite covers cross-engine equality)."""
+
+from __future__ import annotations
+
+from codedup.queries import (
+    _DECON_EVAL_SOURCE,
+    _DECON_K,
+    q_decontaminate_ngram,
+    q_gopher_quality_filter,
+)
+
+
+def _write_docs(spark, d: str, rows) -> None:
+    spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, text string"
+    ).coalesce(1).write.mode("overwrite").parquet(d + "/documents.parquet")
+
+
+def test_decontaminate_planted(spark, tmp_path):
+    assert _DECON_K == 8
+    eval_text = " ".join(f"w{i}" for i in range(10))       # grams: w0..w7, w1..w8, w2..w9
+    exact_window = " ".join(f"w{i}" for i in range(1, 9))  # 8 tokens -> 1 gram, contaminated
+    disjoint = " ".join(f"z{i}" for i in range(12))        # 5 grams, clean
+    short = "only five tokens right here"                  # <8 tokens -> 0 grams
+    d = str(tmp_path)
+    _write_docs(spark, d, [
+        (0, "en", _DECON_EVAL_SOURCE, eval_text),
+        (1, "en", "train", exact_window),
+        (2, "en", "train", disjoint),
+        (3, "en", "train", short),
+    ])
+    got = {r["doc_id"]: r.asDict() for r in q_decontaminate_ngram(spark, d).collect()}
+    assert set(got) == {1, 2, 3}                           # eval doc excluded
+    assert got[1] == {"doc_id": 1, "n_grams": 1, "hit_grams": 1,
+                      "contam_ppm": 1_000_000, "contaminated": 1}
+    assert got[2] == {"doc_id": 2, "n_grams": 5, "hit_grams": 0,
+                      "contam_ppm": 0, "contaminated": 0}
+    assert got[3] == {"doc_id": 3, "n_grams": 0, "hit_grams": 0,
+                      "contam_ppm": 0, "contaminated": 0}
+
+
+def test_decontaminate_counts_distinct_grams_once(spark, tmp_path):
+    # the train doc repeats one contaminated window; distinct gram
+    # counting must report it once, not per occurrence
+    ev = " ".join(f"w{i}" for i in range(8))
+    train = " ".join([ev, ev])                 # 16 tokens, 9 windows, few distinct
+    d = str(tmp_path)
+    _write_docs(spark, d, [
+        (0, "en", _DECON_EVAL_SOURCE, ev),
+        (1, "en", "train", train),
+    ])
+    row = q_decontaminate_ngram(spark, d).collect()[0].asDict()
+    # 9 windows of train: w0..w7 at offsets 1 and 9 (distinct once) + 7
+    # distinct bridge windows
+    assert row["n_grams"] == 8
+    assert row["hit_grams"] == 1               # only w0..w7 is in the eval set
+    assert row["contaminated"] == 1
+
+
+def test_gopher_rules_planted(spark, tmp_path):
+    keep = "the a " + " ".join(f"word{i}" for i in range(20))   # 22 words, all rules pass
+    too_short = "the and tiny words here little text room pad end"  # 10 words -> bit 1
+    no_stop = " ".join(f"term{i}" for i in range(25))           # 25 words, 0 stopwords -> bit 8
+    repeat = "the a " + " ".join(["echo"] * 30)                 # 32 words, echo mass 937k -> bit 4
+    d = str(tmp_path)
+    _write_docs(spark, d, [
+        (0, "en", "s", keep),
+        (1, "en", "s", too_short),
+        (2, "en", "s", no_stop),
+        (3, "en", "s", repeat),
+    ])
+    got = {r["doc_id"]: r.asDict() for r in q_gopher_quality_filter(spark, d).collect()}
+    assert got[0]["fail_mask"] == 0 and got[0]["keep"] == 1
+    assert got[1]["fail_mask"] == 1 and got[1]["keep"] == 0
+    assert got[2]["fail_mask"] == 8 and got[2]["keep"] == 0
+    assert got[3]["fail_mask"] == 4 and got[3]["keep"] == 0
+    # signal values themselves, hand-computed
+    assert got[0]["n_words"] == 22 and got[0]["n_stop"] == 2
+    assert got[3]["top_token_ppm"] == (30 * 1_000_000) // 32
+
+
+def test_gopher_empty_doc(spark, tmp_path):
+    d = str(tmp_path)
+    _write_docs(spark, d, [(0, "en", "s", "")])
+    row = q_gopher_quality_filter(spark, d).collect()[0].asDict()
+    assert row["n_words"] == 0 and row["mean_word_len_centi"] == 0
+    assert row["top_token_ppm"] == 0 and row["n_stop"] == 0
+    # fails word-count, mean-word-length and stopword rules
+    assert row["fail_mask"] == 1 + 2 + 8 and row["keep"] == 0
