@@ -496,6 +496,78 @@ WHERE (c * 1000000) // (sa.n + sb.n - c) >= {JACCARD_MIN_PPM}
 """
 
 
+# The "arriving shard" for the incremental-ingest query: docs from this
+# source are the new batch, everything else is the existing corpus
+# (src7 so the sf0.01 result exercises BOTH pair kinds: 4 backfill
+# pairs into the corpus and 1 within-batch pair)
+_INCR_NEW_SOURCE = "src7"
+
+
+def q_dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: near-dup pairs TOUCHING a newly arrived
+    shard (source = ``_INCR_NEW_SOURCE``) against the already-deduped
+    corpus — the
+    primitive a production pipeline runs per ingest instead of
+    re-deduping 100 TB.  Output = verified pairs with exact Jaccard >=
+    0.80 where at least one side is new; ``is_backfill`` = 1 marks
+    pairs bridging into the existing corpus (the new doc is a dup of
+    history), 0 marks within-batch pairs.
+
+    Semantics: exactly the batch pair set restricted to new-touching
+    pairs — the policy equality the streaming engine proves
+    (codedup/streaming.py:_incremental_candidates, which generates
+    candidates from persisted per-(band, band_hash) bucket stats so the
+    per-batch cost is independent of history size; measured flat over
+    40 batches, BENCH/BASELINE.md).  This catalog form reuses the
+    verified-pair table and projects the new-touching subset, so the
+    oracle pins the SEMANTICS; the incremental candidate plan itself is
+    exercised and measured through the streaming engine's tests/tiers."""
+    pairs = _minhash_pipeline_pairs(spark, sf_dir, DOCS_CFG)
+    srcs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("source") == _INCR_NEW_SOURCE, F.lit(1)).otherwise(F.lit(0))
+        .alias("is_new"),
+    )
+    return (
+        pairs
+        .join(srcs.select(F.col("doc_id").alias("a"), F.col("is_new").alias("na")), "a")
+        .join(srcs.select(F.col("doc_id").alias("b"), F.col("is_new").alias("nb")), "b")
+        .filter(F.col("na") + F.col("nb") >= 1)
+        .select("a", "b", "jaccard_ppm",
+                F.expr("CASE WHEN na + nb = 1 THEN 1 ELSE 0 END")
+                .cast("long").alias("is_backfill"))
+    )
+
+
+SQL_DEDUP_INCREMENTAL_BATCH = f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, substr(text, i, {NGRAM_K}) AS g
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(1, greatest(length(text)-{NGRAM_K - 1}, 1))) AS i) t
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+), inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+  FROM sh x JOIN sh y USING (g)
+  WHERE x.doc_id < y.doc_id
+  GROUP BY 1, 2
+), srcs AS (
+  SELECT doc_id,
+         (CASE WHEN source = '{_INCR_NEW_SOURCE}' THEN 1 ELSE 0 END) AS is_new
+  FROM documents
+)
+SELECT a, b, (c * 1000000) // (sa.n + sb.n - c) AS jaccard_ppm,
+       (CASE WHEN na.is_new + nb.is_new = 1 THEN 1 ELSE 0 END)::BIGINT AS is_backfill
+FROM inter
+JOIN sizes sa ON sa.doc_id = a
+JOIN sizes sb ON sb.doc_id = b
+JOIN srcs na ON na.doc_id = a
+JOIN srcs nb ON nb.doc_id = b
+WHERE (c * 1000000) // (sa.n + sb.n - c) >= {JACCARD_MIN_PPM}
+  AND na.is_new + nb.is_new >= 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # documents: text analysis (tokens / quality / language heuristic)
 # ---------------------------------------------------------------------------
@@ -2723,6 +2795,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_rarest_terms": q_doc_rarest_terms,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_minhash_lsh_tokens": q_dedup_minhash_lsh_tokens,
+    "dedup_incremental_batch": q_dedup_incremental_batch,
     "text_stats": q_text_stats,
     "bpe_token_stats": q_bpe_token_stats,
     "user_sessions": q_user_sessions,
@@ -2769,6 +2842,7 @@ ORACLES: dict[str, str] = {
     "doc_rarest_terms": SQL_DOC_RAREST_TERMS,
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
     "dedup_minhash_lsh_tokens": SQL_DEDUP_MINHASH_LSH_TOKENS,
+    "dedup_incremental_batch": SQL_DEDUP_INCREMENTAL_BATCH,
     "text_stats": SQL_TEXT_STATS,
     "bpe_token_stats": SQL_BPE_TOKEN_STATS,
     "user_sessions": SQL_USER_SESSIONS,

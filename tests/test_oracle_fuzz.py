@@ -420,3 +420,43 @@ def test_fuzz_decontaminate_ngram(spark, tmp_path_factory):
         assert got == want, f"decontaminate_ngram diverged on corpus {run[0]}"
 
     inner()
+
+
+_INCR_DOCS = st.lists(
+    st.tuples(st.text(alphabet=_CHARS, min_size=40, max_size=80),
+              st.booleans(),                  # base doc in the new shard?
+              st.booleans()),                 # its near-dup in the new shard?
+    min_size=1, max_size=4,
+)
+
+
+def test_fuzz_dedup_incremental_batch(spark, tmp_path_factory):
+    """New-shard projection over planted near/exact dups with random
+    shard membership: backfill vs within-batch flags and the old×old
+    exclusion must match the all-pairs SQL."""
+    from codedup.queries import _INCR_NEW_SOURCE
+
+    run = [0]
+
+    @_SETTINGS
+    @given(_INCR_DOCS)
+    def inner(docs):
+        run[0] += 1
+        d = str(tmp_path_factory.mktemp(f"fz_incr_{run[0]}"))
+        rows, i = [], 0
+        for t, base_new, dup_new in docs:
+            rows.append((i, "en", _INCR_NEW_SOURCE if base_new else "old", t))
+            rows.append((i + 1, "en", _INCR_NEW_SOURCE if dup_new else "old", t + "x"))
+            rows.append((i + 2, "en", "old", t))          # exact dup in corpus
+            i += 3
+        spark.createDataFrame(
+            rows, "doc_id long, lang string, source string, text string"
+        ).coalesce(1).write.mode("overwrite").parquet(d + "/documents.parquet")
+        got = _norm([tuple(r) for r in
+                     QUERIES["dedup_incremental_batch"](spark, d).collect()])
+        want = _norm([tuple(r) for r in
+                      _oracle(d, ORACLES["dedup_incremental_batch"])
+                      .itertuples(index=False)])
+        assert got == want, f"dedup_incremental_batch diverged on corpus {run[0]}"
+
+    inner()

@@ -91,3 +91,28 @@ def test_gopher_empty_doc(spark, tmp_path):
     assert row["top_token_ppm"] == 0 and row["n_stop"] == 0
     # fails word-count, mean-word-length and stopword rules
     assert row["fail_mask"] == 1 + 2 + 8 and row["keep"] == 0
+
+
+def test_dedup_incremental_batch_planted(spark, tmp_path):
+    """Incremental-ingest semantics: only pairs touching the new shard
+    survive — backfill pairs flagged 1, within-batch 0, corpus-internal
+    pairs absent."""
+    from codedup.queries import _INCR_NEW_SOURCE, q_dedup_incremental_batch
+
+    base_a = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    base_b = "iota kappa lambda mu nu xi omicron pi rho sigma " * 4
+    base_c = "tau upsilon phi chi psi omega aleph beth gimel " * 4
+    d = str(tmp_path)
+    _write_docs(spark, d, [
+        (0, "en", "old", base_a),                        # corpus
+        (1, "en", _INCR_NEW_SOURCE, base_a + "x"),       # new ~ 0  -> backfill
+        (2, "en", _INCR_NEW_SOURCE, base_b),             # new ~ 3  -> within-batch
+        (3, "en", _INCR_NEW_SOURCE, base_b + "x"),
+        (4, "en", "old", base_c),                        # old ~ old -> excluded
+        (5, "en", "old", base_c + "x"),
+    ])
+    rows = {(r["a"], r["b"]): r for r in q_dedup_incremental_batch(spark, d).collect()}
+    assert set(rows) == {(0, 1), (2, 3)}
+    assert rows[(0, 1)]["is_backfill"] == 1
+    assert rows[(2, 3)]["is_backfill"] == 0
+    assert all(r["jaccard_ppm"] >= 800_000 for r in rows.values())
