@@ -2293,6 +2293,156 @@ FROM sig
 SQL_GOPHER_QUALITY_FILTER = _sql_gopher_quality_filter()
 
 
+# DSIR target-domain sample: docs from this source play the role of the
+# curated high-quality corpus; everything else is the raw pool being
+# scored.  Bucket count is small on purpose — the weight table must
+# broadcast (it is O(buckets) regardless of corpus size).
+_DSIR_TARGET_SOURCE = "src3"
+_DSIR_BUCKETS = 64
+
+
+def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance scoring for data selection (Xie et al. 2023,
+    arXiv:2302.03169): featurize every document as hashed unigram +
+    bigram counts over ``_DSIR_BUCKETS`` buckets, fit add-one-smoothed
+    bag-of-hashed-ngrams models for the target domain (docs from
+    ``_DSIR_TARGET_SOURCE``) and the raw pool (everything else), and
+    score each raw doc with its importance log-ratio
+    sum_b c_b * (ln p_target(b) - ln p_raw(b)).  Output = per raw doc:
+    feature count, score in integer micro-nats, and the selection rank
+    (DSIR's resampling draws the top-k of score + Gumbel noise; the
+    deterministic rank is the seed-free part the oracle can pin).
+
+    Cross-engine exactness: the four ``ln`` evaluations happen once per
+    BUCKET and are rounded to integer micro-nats there, so per-doc
+    scores are exact integer dot products — no float accumulation whose
+    summation order could differ between engines.
+
+    Scale shape: one map-only feature expansion, one (doc, bucket)
+    partial-aggregated count shuffle, bucket marginals are O(buckets)
+    rows, and the weight table broadcasts onto the doc-bucket counts —
+    the corpus text itself is never reshuffled.  At 10^12 files the
+    only wide exchange is the (doc_id, bucket) count, which map-side
+    combines to <= buckets rows per doc.  The global sel_rank window
+    runs over the two-long (score, id) score table; at 10^12 rows the
+    production form replaces it with a top-k threshold (distributed
+    quantile of score_micro, then a scan-side filter) — kept as an
+    exact global rank here because the oracle pins it."""
+    docs = _t(spark, sf_dir, "documents")
+    b = _DSIR_BUCKETS
+    # the token array is lambda-bound (transform over a 1-element
+    # array) so the split+filter runs ONCE per row — projection
+    # collapse would otherwise inline _TOKENS into every element_at
+    # of the bigram lambda and tokenization goes O(tokens^2)
+    feats = (f"element_at(transform(array({_TOKENS}), tk ->"
+             " CASE WHEN size(tk) >= 2 THEN concat(tk,"
+             " transform(sequence(1, size(tk) - 1),"
+             " i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1))))"
+             " ELSE tk END), 1)")
+    # explicit repartition: the source is typically a handful of dense
+    # parquet files, which would pin the CPU-heavy tokenize+md5
+    # expansion to as few cores (files.maxPartitionBytes >> file size)
+    base = (
+        docs.repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", "source", F.expr(feats).alias("fs"))
+    )
+    fb = base.select(
+        "doc_id", "source", F.explode("fs").alias("f")
+    ).select(
+        "doc_id", "source",
+        F.expr(f"CAST(conv(substring(md5(f), 1, 15), 16, 10) AS BIGINT) % {b}")
+        .alias("b"),
+    )
+    tgt = (fb.filter(F.col("source") == _DSIR_TARGET_SOURCE)
+           .groupBy("b").agg(F.count("*").alias("tc")))
+    # doc_b feeds three consumers (raw marginals, totals, scores) — an
+    # eager checkpoint keeps the explode+md5 expansion from replaying
+    # once per branch (the post-agg table is <= _DSIR_BUCKETS rows/doc)
+    doc_b = (fb.filter(F.col("source") != _DSIR_TARGET_SOURCE)
+             .groupBy("doc_id", "b").agg(F.count("*").alias("c"))
+             .localCheckpoint(eager=True))
+    raw = doc_b.groupBy("b").agg(F.sum("c").alias("rc"))
+    totals = (tgt.agg(F.coalesce(F.sum("tc"), F.lit(0)).alias("nt"))
+              .crossJoin(raw.agg(F.coalesce(F.sum("rc"), F.lit(0)).alias("nr"))))
+    weights = (
+        spark.range(b).select(F.col("id").alias("b"))
+        .join(tgt, "b", "left").join(raw, "b", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            F.expr(f"CAST(round((ln(coalesce(tc, 0) + 1) - ln(nt + {b})"
+                   f" - ln(coalesce(rc, 0) + 1) + ln(nr + {b}))"
+                   " * 1000000, 0) AS BIGINT)").alias("lw"),
+        )
+    )
+    scores = (
+        doc_b.join(F.broadcast(weights), "b")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("c") * F.col("lw")).alias("s"),
+             F.sum("c").alias("nf"))
+    )
+    return (
+        docs.filter(F.col("source") != _DSIR_TARGET_SOURCE).select("doc_id")
+        .join(scores, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("nf", F.lit(0)).cast("long").alias("n_feats"),
+            F.coalesce("s", F.lit(0)).cast("long").alias("score_micro"),
+        )
+        .withColumn(
+            "sel_rank",
+            F.expr("row_number() OVER (ORDER BY score_micro DESC, doc_id)")
+            .cast("long"),
+        )
+    )
+
+
+SQL_DSIR_IMPORTANCE = f"""
+WITH base AS (
+  SELECT doc_id, source,
+         (CASE WHEN len(tk) >= 2 THEN
+            list_concat(tk, list_transform(generate_series(1, len(tk) - 1),
+                                           i -> tk[i] || ' ' || tk[i + 1]))
+          ELSE tk END) AS fs
+  FROM (SELECT doc_id, source,
+               list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
+        FROM documents)
+), fb AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(f), 1, 15))::BIGINT % {_DSIR_BUCKETS} AS b
+  FROM (SELECT doc_id, source, unnest(fs) AS f FROM base) t
+), tgt AS (
+  SELECT b, count(*) AS tc FROM fb
+  WHERE source = '{_DSIR_TARGET_SOURCE}' GROUP BY 1
+), doc_b AS (
+  SELECT doc_id, b, count(*) AS c FROM fb
+  WHERE source <> '{_DSIR_TARGET_SOURCE}' GROUP BY 1, 2
+), raw AS (
+  SELECT b, sum(c) AS rc FROM doc_b GROUP BY 1
+), tot AS (
+  SELECT (SELECT coalesce(sum(tc), 0) FROM tgt) AS nt,
+         (SELECT coalesce(sum(rc), 0) FROM raw) AS nr
+), w AS (
+  SELECT s.b,
+         round((ln(coalesce(tc, 0) + 1) - ln(nt + {_DSIR_BUCKETS})
+                - ln(coalesce(rc, 0) + 1) + ln(nr + {_DSIR_BUCKETS}))
+               * 1000000)::BIGINT AS lw
+  FROM (SELECT unnest(generate_series(0, {_DSIR_BUCKETS - 1})) AS b) s
+  LEFT JOIN tgt USING (b) LEFT JOIN raw USING (b), tot
+), sc AS (
+  SELECT doc_id, sum(c * lw) AS s, sum(c) AS nf
+  FROM doc_b JOIN w USING (b) GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(nf, 0)::BIGINT AS n_feats,
+       coalesce(s, 0)::BIGINT AS score_micro,
+       row_number() OVER (ORDER BY coalesce(s, 0) DESC, d.doc_id)::BIGINT
+         AS sel_rank
+FROM (SELECT doc_id FROM base WHERE source <> '{_DSIR_TARGET_SOURCE}') d
+LEFT JOIN sc USING (doc_id)
+"""
+
+
 def q_paragraph_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document duplicated-paragraph mass (the CCNet/RefinedWeb
     sub-document dedup signal — boilerplate paragraphs repeated across
@@ -2823,6 +2973,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_pii_scrub": q_doc_pii_scrub,
     "decontaminate_ngram": q_decontaminate_ngram,
     "gopher_quality_filter": q_gopher_quality_filter,
+    "dsir_importance": q_dsir_importance,
     "pricing_summary": q_pricing_summary,
     "top_orders_per_customer": q_top_orders_per_customer,
     "customers_without_orders": q_customers_without_orders,
@@ -2870,6 +3021,7 @@ ORACLES: dict[str, str] = {
     "doc_pii_scrub": SQL_DOC_PII_SCRUB,
     "decontaminate_ngram": SQL_DECONTAMINATE_NGRAM,
     "gopher_quality_filter": SQL_GOPHER_QUALITY_FILTER,
+    "dsir_importance": SQL_DSIR_IMPORTANCE,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "top_orders_per_customer": SQL_TOP_ORDERS_PER_CUSTOMER,
     "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,

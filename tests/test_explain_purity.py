@@ -147,3 +147,16 @@ def test_decontaminate_broadcasts_eval_grams(spark):
     plan = _plan(df)
     assert "BroadcastHashJoin" in plan
     assert "NestedLoop" not in plan
+
+
+def test_dsir_importance_broadcasts_weights(spark):
+    """DSIR scoring must stay pure JVM and join the O(buckets) weight
+    table onto the doc-bucket counts as a BROADCAST — a shuffle join
+    would re-exchange the corpus-side counts for a 64-row table.  (The
+    1-row totals crossJoin is legitimately a broadcast nested loop.)"""
+    from codedup.queries import q_dsir_importance
+
+    df = q_dsir_importance(spark, "/root/testdata/sf0.001")
+    _assert_pure(df, "dsir_importance")
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan

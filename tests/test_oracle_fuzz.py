@@ -460,3 +460,39 @@ def test_fuzz_dedup_incremental_batch(spark, tmp_path_factory):
         assert got == want, f"dedup_incremental_batch diverged on corpus {run[0]}"
 
     inner()
+
+
+_DSIR_DOCS = st.lists(
+    st.tuples(st.text(alphabet=_CHARS, max_size=60),
+              st.booleans()),                 # in the target sample?
+    min_size=1, max_size=6,
+)
+
+
+def test_fuzz_dsir_importance(spark, tmp_path_factory):
+    """DSIR hashed-ngram importance scores over random corpora with
+    random target membership: bucket weights, integer micro-nat scores
+    and selection ranks must match the DuckDB form (incl. empty target
+    sample, empty docs, unicode whitespace tokenization)."""
+    from codedup.queries import _DSIR_TARGET_SOURCE
+
+    run = [0]
+
+    @_SETTINGS
+    @given(_DSIR_DOCS)
+    def inner(docs):
+        run[0] += 1
+        d = str(tmp_path_factory.mktemp(f"fz_dsir_{run[0]}"))
+        rows = [(i, "en", _DSIR_TARGET_SOURCE if tgt else "raw", t)
+                for i, (t, tgt) in enumerate(docs)]
+        spark.createDataFrame(
+            rows, "doc_id long, lang string, source string, text string"
+        ).coalesce(1).write.mode("overwrite").parquet(d + "/documents.parquet")
+        got = _norm([tuple(r) for r in
+                     QUERIES["dsir_importance"](spark, d).collect()])
+        want = _norm([tuple(r) for r in
+                      _oracle(d, ORACLES["dsir_importance"])
+                      .itertuples(index=False)])
+        assert got == want, f"dsir_importance diverged on corpus {run[0]}"
+
+    inner()

@@ -116,3 +116,48 @@ def test_dedup_incremental_batch_planted(spark, tmp_path):
     assert rows[(0, 1)]["is_backfill"] == 1
     assert rows[(2, 3)]["is_backfill"] == 0
     assert all(r["jaccard_ppm"] >= 800_000 for r in rows.values())
+
+
+def test_dsir_importance_planted(spark, tmp_path):
+    """DSIR ranking: a raw doc sharing the target domain's n-grams must
+    outrank a raw doc made of n-grams the target never uses; empty raw
+    docs score 0 with zero features."""
+    from codedup.queries import _DSIR_TARGET_SOURCE, q_dsir_importance
+
+    target = "import numpy as np from collections import defaultdict"
+    like_target = "import numpy as np import collections"
+    unlike = "zzq qqx xqz zxq qzx xzz qxq zqq"
+    d = str(tmp_path)
+    _write_docs(spark, d, [
+        (0, "en", _DSIR_TARGET_SOURCE, target),
+        (1, "en", _DSIR_TARGET_SOURCE, target + " import json"),
+        (2, "en", "raw", like_target),
+        (3, "en", "raw", unlike),
+        (4, "en", "raw", ""),
+    ])
+    got = {r["doc_id"]: r.asDict() for r in q_dsir_importance(spark, d).collect()}
+    assert set(got) == {2, 3, 4}                  # target docs excluded
+    assert got[2]["score_micro"] > got[3]["score_micro"]
+    assert got[2]["sel_rank"] < got[3]["sel_rank"]
+    assert got[4] == {"doc_id": 4, "n_feats": 0, "score_micro": 0,
+                      "sel_rank": got[4]["sel_rank"]}
+    # like_target: 6 unigrams + 5 bigrams
+    assert got[2]["n_feats"] == 11
+    # ranks are a permutation of 1..3
+    assert sorted(r["sel_rank"] for r in got.values()) == [1, 2, 3]
+
+
+def test_dsir_importance_no_target_docs(spark, tmp_path):
+    """With an empty target sample the model degenerates to uniform-
+    vs-raw; the query must still run and rank deterministically."""
+    from codedup.queries import q_dsir_importance
+
+    d = str(tmp_path)
+    _write_docs(spark, d, [
+        (0, "en", "raw", "alpha beta gamma alpha beta"),
+        (1, "en", "raw", "alpha beta"),
+    ])
+    got = {r["doc_id"]: r.asDict() for r in q_dsir_importance(spark, d).collect()}
+    assert set(got) == {0, 1}
+    assert got[0]["n_feats"] == 9 and got[1]["n_feats"] == 3
+    assert sorted(r["sel_rank"] for r in got.values()) == [1, 2]
