@@ -2329,7 +2329,17 @@ def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantile of score_micro, then a scan-side filter) — kept as an
     exact global rank here because the oracle pins it."""
     docs = _t(spark, sf_dir, "documents")
-    b = _DSIR_BUCKETS
+    return dsir_scores(docs, F.col("source") == _DSIR_TARGET_SOURCE)
+
+
+def dsir_scores(docs: DataFrame, is_target,
+                buckets: int = _DSIR_BUCKETS) -> DataFrame:
+    """Core of :func:`q_dsir_importance`, reusable over any table with
+    (doc_id, text) and a boolean target-membership expression — the
+    tier harness (tools/dsir_at_scale.py) scores source-code corpora
+    with a (lang, repo)-derived target sample through this same path."""
+    spark = docs.sparkSession
+    b = buckets
     # the token array is lambda-bound (transform over a 1-element
     # array) so the split+filter runs ONCE per row — projection
     # collapse would otherwise inline _TOKENS into every element_at
@@ -2342,23 +2352,23 @@ def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # explicit repartition: the source is typically a handful of dense
     # parquet files, which would pin the CPU-heavy tokenize+md5
     # expansion to as few cores (files.maxPartitionBytes >> file size)
+    docs = docs.withColumn("_tgt", is_target)
     base = (
         docs.repartition(spark.sparkContext.defaultParallelism)
-        .select("doc_id", "source", F.expr(feats).alias("fs"))
+        .select("doc_id", "_tgt", F.expr(feats).alias("fs"))
     )
     fb = base.select(
-        "doc_id", "source", F.explode("fs").alias("f")
+        "doc_id", "_tgt", F.explode("fs").alias("f")
     ).select(
-        "doc_id", "source",
+        "doc_id", "_tgt",
         F.expr(f"CAST(conv(substring(md5(f), 1, 15), 16, 10) AS BIGINT) % {b}")
         .alias("b"),
     )
-    tgt = (fb.filter(F.col("source") == _DSIR_TARGET_SOURCE)
-           .groupBy("b").agg(F.count("*").alias("tc")))
+    tgt = fb.filter(F.col("_tgt")).groupBy("b").agg(F.count("*").alias("tc"))
     # doc_b feeds three consumers (raw marginals, totals, scores) — an
     # eager checkpoint keeps the explode+md5 expansion from replaying
-    # once per branch (the post-agg table is <= _DSIR_BUCKETS rows/doc)
-    doc_b = (fb.filter(F.col("source") != _DSIR_TARGET_SOURCE)
+    # once per branch (the post-agg table is <= buckets rows/doc)
+    doc_b = (fb.filter(~F.col("_tgt"))
              .groupBy("doc_id", "b").agg(F.count("*").alias("c"))
              .localCheckpoint(eager=True))
     raw = doc_b.groupBy("b").agg(F.sum("c").alias("rc"))
@@ -2382,7 +2392,7 @@ def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum("c").alias("nf"))
     )
     return (
-        docs.filter(F.col("source") != _DSIR_TARGET_SOURCE).select("doc_id")
+        docs.filter(~F.col("_tgt")).select("doc_id")
         .join(scores, "doc_id", "left")
         .select(
             "doc_id",
