@@ -2333,11 +2333,18 @@ def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dsir_scores(docs: DataFrame, is_target,
-                buckets: int = _DSIR_BUCKETS) -> DataFrame:
+                buckets: int = _DSIR_BUCKETS,
+                portable_hash: bool = True) -> DataFrame:
     """Core of :func:`q_dsir_importance`, reusable over any table with
     (doc_id, text) and a boolean target-membership expression — the
     tier harness (tools/dsir_at_scale.py) scores source-code corpora
-    with a (lang, repo)-derived target sample through this same path."""
+    with a (lang, repo)-derived target sample through this same path.
+
+    ``portable_hash=True`` buckets features with the md5-60bit hash the
+    DuckDB oracle can reproduce (the catalog path); ``False`` swaps in
+    JVM-native xxhash64 — measured ~4.7x faster on the bucket stage
+    with identical structure (bucketing only needs stability, not
+    cross-engine portability), so the tier path uses it."""
     spark = docs.sparkSession
     b = buckets
     # the token array is lambda-bound (transform over a 1-element
@@ -2357,12 +2364,12 @@ def dsir_scores(docs: DataFrame, is_target,
         docs.repartition(spark.sparkContext.defaultParallelism)
         .select("doc_id", "_tgt", F.expr(feats).alias("fs"))
     )
+    bucket = (f"CAST(conv(substring(md5(f), 1, 15), 16, 10) AS BIGINT) % {b}"
+              if portable_hash else f"pmod(xxhash64(f), {b})")
     fb = base.select(
         "doc_id", "_tgt", F.explode("fs").alias("f")
     ).select(
-        "doc_id", "_tgt",
-        F.expr(f"CAST(conv(substring(md5(f), 1, 15), 16, 10) AS BIGINT) % {b}")
-        .alias("b"),
+        "doc_id", "_tgt", F.expr(bucket).alias("b"),
     )
     tgt = fb.filter(F.col("_tgt")).groupBy("b").agg(F.count("*").alias("tc"))
     # doc_b feeds three consumers (raw marginals, totals, scores) — an

@@ -161,3 +161,28 @@ def test_dsir_importance_no_target_docs(spark, tmp_path):
     assert set(got) == {0, 1}
     assert got[0]["n_feats"] == 9 and got[1]["n_feats"] == 3
     assert sorted(r["sel_rank"] for r in got.values()) == [1, 2]
+
+
+def test_dsir_fast_hash_preserves_domain_ordering(spark, tmp_path):
+    """The xxhash64 tier path buckets differently than the portable md5
+    hash but must carry the same domain signal: same schema, same raw
+    doc set, and the target-like doc still outranks the alien one."""
+    from pyspark.sql import functions as F
+
+    from codedup.queries import _DSIR_TARGET_SOURCE, dsir_scores
+
+    target = "import numpy as np from collections import defaultdict"
+    d = str(tmp_path)
+    _write_docs(spark, d, [
+        (0, "en", _DSIR_TARGET_SOURCE, target),
+        (1, "en", _DSIR_TARGET_SOURCE, target + " import json"),
+        (2, "en", "raw", "import numpy as np import collections"),
+        (3, "en", "raw", "zzq qqx xqz zxq qzx xzz qxq zqq"),
+    ])
+    docs = spark.read.parquet(d + "/documents.parquet")
+    got = {r["doc_id"]: r.asDict() for r in
+           dsir_scores(docs, F.col("source") == _DSIR_TARGET_SOURCE,
+                       portable_hash=False).collect()}
+    assert set(got) == {2, 3}
+    assert got[2]["score_micro"] > got[3]["score_micro"]
+    assert got[2]["sel_rank"] == 1 and got[3]["sel_rank"] == 2

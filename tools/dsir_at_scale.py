@@ -64,7 +64,7 @@ def main() -> None:
         n_target = docs.filter(is_target).count()
 
         t0 = time.time()
-        scored = dsir_scores(docs, is_target)
+        scored = dsir_scores(docs, is_target, portable_hash=False)
         out_path = os.path.join(work, "dsir_scores.parquet")
         scored.write.mode("overwrite").parquet(out_path)
         wall = time.time() - t0
