@@ -2332,9 +2332,73 @@ def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_scores(docs, F.col("source") == _DSIR_TARGET_SOURCE)
 
 
+def _dsir_bucket_counts_arrow(docs: DataFrame, buckets: int) -> DataFrame:
+    """One-pass Arrow kernel behind the DSIR tier path: per document,
+    whitespace-tokenize, hash unigrams (crc32 -> splitmix64 mix) and
+    NUMERIC bigrams (adjacent token hashes mixed — bigram strings are
+    never materialized), and emit PRE-AGGREGATED (doc_id, _tgt, b, c)
+    bucket counts: <= buckets rows per doc leave the kernel, so the
+    wide per-feature shuffle of the relational form disappears
+    entirely.  Same architecture as the signature stage
+    (stages/signatures.py): CPU-dense per-row work in one Arrow pass,
+    everything after it relational.  Tokenizer = str.split() (unicode
+    whitespace) vs the oracle path's java \\s+ — identical on ASCII
+    whitespace; the tier path does not claim oracle parity (the
+    catalog query q_dsir_importance stays on the portable SQL form)."""
+    spark = docs.sparkSession
+
+    def batches(it):
+        import zlib
+
+        import numpy as np
+        import pandas as pd
+
+        from codedup.kernels import _splitmix64
+
+        mult = np.uint64(0x9E3779B97F4A7C15)
+        bkt = np.uint64(buckets)
+        for pdf in it:
+            ids, tgts, bs, cs = [], [], [], []
+            for doc_id, tgt, text in zip(pdf["doc_id"], pdf["_tgt"], pdf["text"]):
+                toks = text.split() if isinstance(text, str) else []
+                if not toks:
+                    continue
+                h = np.fromiter(
+                    (zlib.crc32(w.encode("utf-8", "surrogatepass"))
+                     for w in toks),
+                    dtype=np.uint64, count=len(toks))
+                h = _splitmix64(h)
+                if h.size >= 2:
+                    allh = np.concatenate([h, _splitmix64(h[:-1] ^ (h[1:] * mult))])
+                else:
+                    allh = h
+                cnt = np.bincount((allh % bkt).astype(np.int64),
+                                  minlength=buckets)
+                nz = np.nonzero(cnt)[0]
+                ids.append(np.full(nz.size, doc_id, dtype=np.int64))
+                tgts.append(np.repeat(bool(tgt), nz.size))
+                bs.append(nz.astype(np.int64))
+                cs.append(cnt[nz].astype(np.int64))
+            if ids:
+                yield pd.DataFrame({
+                    "doc_id": np.concatenate(ids),
+                    "_tgt": np.concatenate(tgts),
+                    "b": np.concatenate(bs),
+                    "c": np.concatenate(cs),
+                })
+
+    return (
+        docs.filter(F.col("_tgt").isNotNull())
+        .select("doc_id", "_tgt", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(batches, schema="doc_id long, _tgt boolean, b long, c long")
+    )
+
+
 def dsir_scores(docs: DataFrame, is_target,
                 buckets: int = _DSIR_BUCKETS,
-                portable_hash: bool = True) -> DataFrame:
+                portable_hash: bool = True,
+                arrow: bool = False) -> DataFrame:
     """Core of :func:`q_dsir_importance`, reusable over any table with
     (doc_id, text) and a boolean target-membership expression — the
     tier harness (tools/dsir_at_scale.py) scores source-code corpora
@@ -2347,37 +2411,45 @@ def dsir_scores(docs: DataFrame, is_target,
     cross-engine portability), so the tier path uses it."""
     spark = docs.sparkSession
     b = buckets
-    # the token array is lambda-bound (transform over a 1-element
-    # array) so the split+filter runs ONCE per row — projection
-    # collapse would otherwise inline _TOKENS into every element_at
-    # of the bigram lambda and tokenization goes O(tokens^2)
-    feats = (f"element_at(transform(array({_TOKENS}), tk ->"
-             " CASE WHEN size(tk) >= 2 THEN concat(tk,"
-             " transform(sequence(1, size(tk) - 1),"
-             " i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1))))"
-             " ELSE tk END), 1)")
-    # explicit repartition: the source is typically a handful of dense
-    # parquet files, which would pin the CPU-heavy tokenize+md5
-    # expansion to as few cores (files.maxPartitionBytes >> file size)
     docs = docs.withColumn("_tgt", is_target)
-    base = (
-        docs.repartition(spark.sparkContext.defaultParallelism)
-        .select("doc_id", "_tgt", F.expr(feats).alias("fs"))
-    )
-    bucket = (f"CAST(conv(substring(md5(f), 1, 15), 16, 10) AS BIGINT) % {b}"
-              if portable_hash else f"pmod(xxhash64(f), {b})")
-    fb = base.select(
-        "doc_id", "_tgt", F.explode("fs").alias("f")
-    ).select(
-        "doc_id", "_tgt", F.expr(bucket).alias("b"),
-    )
-    tgt = fb.filter(F.col("_tgt")).groupBy("b").agg(F.count("*").alias("tc"))
-    # doc_b feeds three consumers (raw marginals, totals, scores) — an
-    # eager checkpoint keeps the explode+md5 expansion from replaying
-    # once per branch (the post-agg table is <= buckets rows/doc)
-    doc_b = (fb.filter(~F.col("_tgt"))
-             .groupBy("doc_id", "b").agg(F.count("*").alias("c"))
-             .localCheckpoint(eager=True))
+    if arrow:
+        # tier form: pre-aggregated counts out of one Arrow pass;
+        # checkpoint so the kernel runs once across the three consumers
+        counts = _dsir_bucket_counts_arrow(docs, b).localCheckpoint(eager=True)
+        tgt = (counts.filter(F.col("_tgt"))
+               .groupBy("b").agg(F.sum("c").alias("tc")))
+        doc_b = counts.filter(~F.col("_tgt")).select("doc_id", "b", "c")
+    else:
+        # the token array is lambda-bound (transform over a 1-element
+        # array) so the split+filter runs ONCE per row — projection
+        # collapse would otherwise inline _TOKENS into every element_at
+        # of the bigram lambda and tokenization goes O(tokens^2)
+        feats = (f"element_at(transform(array({_TOKENS}), tk ->"
+                 " CASE WHEN size(tk) >= 2 THEN concat(tk,"
+                 " transform(sequence(1, size(tk) - 1),"
+                 " i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1))))"
+                 " ELSE tk END), 1)")
+        # explicit repartition: the source is typically a handful of
+        # dense parquet files, which would pin the CPU-heavy
+        # tokenize+hash expansion to as few cores
+        base = (
+            docs.repartition(spark.sparkContext.defaultParallelism)
+            .select("doc_id", "_tgt", F.expr(feats).alias("fs"))
+        )
+        bucket = (f"CAST(conv(substring(md5(f), 1, 15), 16, 10) AS BIGINT) % {b}"
+                  if portable_hash else f"pmod(xxhash64(f), {b})")
+        fb = base.select(
+            "doc_id", "_tgt", F.explode("fs").alias("f")
+        ).select(
+            "doc_id", "_tgt", F.expr(bucket).alias("b"),
+        )
+        tgt = fb.filter(F.col("_tgt")).groupBy("b").agg(F.count("*").alias("tc"))
+        # doc_b feeds three consumers (raw marginals, totals, scores) —
+        # an eager checkpoint keeps the explode+hash expansion from
+        # replaying once per branch (<= buckets rows/doc post-agg)
+        doc_b = (fb.filter(~F.col("_tgt"))
+                 .groupBy("doc_id", "b").agg(F.count("*").alias("c"))
+                 .localCheckpoint(eager=True))
     raw = doc_b.groupBy("b").agg(F.sum("c").alias("rc"))
     totals = (tgt.agg(F.coalesce(F.sum("tc"), F.lit(0)).alias("nt"))
               .crossJoin(raw.agg(F.coalesce(F.sum("rc"), F.lit(0)).alias("nr"))))

@@ -186,3 +186,36 @@ def test_dsir_fast_hash_preserves_domain_ordering(spark, tmp_path):
     assert set(got) == {2, 3}
     assert got[2]["score_micro"] > got[3]["score_micro"]
     assert got[2]["sel_rank"] == 1 and got[3]["sel_rank"] == 2
+
+
+def test_dsir_arrow_structural_parity(spark, tmp_path):
+    """The Arrow tier kernel must agree with the relational form on
+    everything hash-independent: same raw doc set, identical per-doc
+    feature counts (ASCII whitespace => identical tokenization), and
+    the planted domain ordering."""
+    from pyspark.sql import functions as F
+
+    from codedup.queries import _DSIR_TARGET_SOURCE, dsir_scores
+
+    target = "import numpy as np from collections import defaultdict"
+    d = str(tmp_path)
+    _write_docs(spark, d, [
+        (0, "en", _DSIR_TARGET_SOURCE, target),
+        (1, "en", _DSIR_TARGET_SOURCE, target + " import json"),
+        (2, "en", "raw", "import numpy as np import collections"),
+        (3, "en", "raw", "zzq qqx xqz zxq qzx xzz qxq zqq"),
+        (4, "en", "raw", ""),
+        (5, "en", "raw", "solo"),
+    ])
+    docs = spark.read.parquet(d + "/documents.parquet")
+    is_tgt = F.col("source") == _DSIR_TARGET_SOURCE
+    arrow = {r["doc_id"]: r.asDict()
+             for r in dsir_scores(docs, is_tgt, arrow=True).collect()}
+    sql = {r["doc_id"]: r.asDict()
+           for r in dsir_scores(docs, is_tgt, portable_hash=False).collect()}
+    assert set(arrow) == set(sql) == {2, 3, 4, 5}
+    for k in arrow:
+        assert arrow[k]["n_feats"] == sql[k]["n_feats"], k
+    assert arrow[5]["n_feats"] == 1 and arrow[4]["n_feats"] == 0
+    assert arrow[2]["score_micro"] > arrow[3]["score_micro"]
+    assert sorted(r["sel_rank"] for r in arrow.values()) == [1, 2, 3, 4]

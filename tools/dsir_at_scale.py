@@ -15,8 +15,10 @@ domain signal.
 Prints one JSON line; results go to the data-selection section of
 BENCH/BASELINE.md.
 
-Usage: python tools/dsir_at_scale.py [corpus_dir] [cores] [shuffle]
-       (default /tmp/codedup_bench_1000000, 32 cores, shuffle 128)
+Usage: python tools/dsir_at_scale.py [corpus_dir] [cores] [shuffle] [mem]
+       (default /tmp/codedup_bench_1000000, 32 cores, shuffle 128,
+       mem 32g — use 48g at >= 3.5M files, same heap rule as
+       tools/recall_at_scale.py)
 """
 
 from __future__ import annotations
@@ -38,6 +40,7 @@ def main() -> None:
     corpus = sys.argv[1] if len(sys.argv) > 1 else "/tmp/codedup_bench_1000000"
     cores = int(sys.argv[2]) if len(sys.argv) > 2 else 32
     shuffle = int(sys.argv[3]) if len(sys.argv) > 3 else 128
+    mem = sys.argv[4] if len(sys.argv) > 4 else "32g"
 
     from pyspark.sql import functions as F
 
@@ -47,7 +50,7 @@ def main() -> None:
     spark = build_session(
         f"local[{cores}]", app_name="dsir-at-scale",
         shuffle_partitions=shuffle,
-        extra={"spark.driver.memory": "32g"},
+        extra={"spark.driver.memory": mem},
     )
     work = tempfile.mkdtemp(prefix="dsir_scale_", dir="/tmp")
     try:
@@ -64,7 +67,7 @@ def main() -> None:
         n_target = docs.filter(is_target).count()
 
         t0 = time.time()
-        scored = dsir_scores(docs, is_target, portable_hash=False)
+        scored = dsir_scores(docs, is_target, arrow=True)
         out_path = os.path.join(work, "dsir_scores.parquet")
         scored.write.mode("overwrite").parquet(out_path)
         wall = time.time() - t0
