@@ -2414,8 +2414,13 @@ def dsir_scores(docs: DataFrame, is_target,
     docs = docs.withColumn("_tgt", is_target)
     if arrow:
         # tier form: pre-aggregated counts out of one Arrow pass;
-        # checkpoint so the kernel runs once across the three consumers
-        counts = _dsir_bucket_counts_arrow(docs, b).localCheckpoint(eager=True)
+        # checkpoint so the kernel runs once across the three
+        # consumers.  DISK_ONLY: at the 7.1M tier the deserialized
+        # blocks otherwise occupy the unified pool and starve the
+        # downstream aggregates (AGGREGATE_OUT_OF_MEMORY)
+        from pyspark import StorageLevel
+        counts = _dsir_bucket_counts_arrow(docs, b).localCheckpoint(
+            eager=True, storageLevel=StorageLevel.DISK_ONLY)
         tgt = (counts.filter(F.col("_tgt"))
                .groupBy("b").agg(F.sum("c").alias("tc")))
         doc_b = counts.filter(~F.col("_tgt")).select("doc_id", "b", "c")
@@ -2464,12 +2469,42 @@ def dsir_scores(docs: DataFrame, is_target,
                    " * 1000000, 0) AS BIGINT)").alias("lw"),
         )
     )
-    scores = (
-        doc_b.join(F.broadcast(weights), "b")
-        .groupBy("doc_id")
-        .agg(F.sum(F.col("c") * F.col("lw")).alias("s"),
-             F.sum("c").alias("nf"))
-    )
+    if arrow:
+        # map-side scoring: the model IS the O(buckets) weight vector,
+        # so fetch it (constant-size collect — the broadcast analog)
+        # and fold the dot product inside a second Arrow pass.  The
+        # relational groupBy(doc_id) over the per-(doc, bucket) rows
+        # builds a near-useless partial hash map (keys ~unique per
+        # partition — ~1.4 GB/task at 7.1M docs, the tier OOM); the
+        # kernel emits <= one partial row per doc per batch instead,
+        # so the final aggregate sees ~n_docs rows.
+        import numpy as np
+        w_vec = np.zeros(b, dtype=np.int64)
+        for r in weights.collect():
+            w_vec[r["b"]] = r["lw"]
+
+        def score_batches(it):
+            import pandas as pd
+            for pdf in it:
+                g = (pd.DataFrame({
+                        "doc_id": pdf["doc_id"],
+                        "s": pdf["c"].to_numpy() * w_vec[pdf["b"].to_numpy()],
+                        "nf": pdf["c"]})
+                     .groupby("doc_id", as_index=False).sum())
+                yield g
+
+        scores = (
+            doc_b.mapInPandas(score_batches, schema="doc_id long, s long, nf long")
+            .groupBy("doc_id")
+            .agg(F.sum("s").alias("s"), F.sum("nf").alias("nf"))
+        )
+    else:
+        scores = (
+            doc_b.join(F.broadcast(weights), "b")
+            .groupBy("doc_id")
+            .agg(F.sum(F.col("c") * F.col("lw")).alias("s"),
+                 F.sum("c").alias("nf"))
+        )
     return (
         docs.filter(~F.col("_tgt")).select("doc_id")
         .join(scores, "doc_id", "left")

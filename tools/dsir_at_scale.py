@@ -50,7 +50,14 @@ def main() -> None:
     spark = build_session(
         f"local[{cores}]", app_name="dsir-at-scale",
         shuffle_partitions=shuffle,
-        extra={"spark.driver.memory": mem},
+        extra={
+            "spark.driver.memory": mem,
+            # the pre-aggregated counts checkpoint is storage-resident;
+            # keep the protected storage fraction low so execution can
+            # evict it to disk instead of starving the aggregates
+            # (UNABLE_TO_ACQUIRE_MEMORY at the 7.1M tier otherwise)
+            "spark.memory.storageFraction": "0.25",
+        },
     )
     work = tempfile.mkdtemp(prefix="dsir_scale_", dir="/tmp")
     try:
