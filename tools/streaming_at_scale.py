@@ -13,7 +13,8 @@ growth bound is visible.
 Prints one JSON line; feeds the streaming section of BENCH/BASELINE.md.
 
 Usage: python tools/streaming_at_scale.py <corpus_dir> [n_batches]
-       [cores] [--work DIR] [--stream-shuffle N]
+       [cores] [--work DIR] [--stream-shuffle N] [--driver-mem G]
+       (pass --driver-mem 32g at the 3.55M tier — 8 g OOMs ~batch 12)
 
 --stream-shuffle sizes the STREAMING side's shuffle width to the
 per-batch data volume (measured at 355k/20: width 128 -> 24 s/batch,
@@ -57,6 +58,14 @@ def main() -> int:
         i = argv.index("--stream-shuffle")
         stream_shuffle = int(argv[i + 1])
         del argv[i:i + 2]
+    # heap rule: 8 g (default) holds through 1.78M/20 batches; the
+    # 3.55M tier OOMs at ~batch 12 (accumulated foreachBatch state +
+    # compaction inputs) — pass 32g there
+    driver_mem = None
+    if "--driver-mem" in argv:
+        i = argv.index("--driver-mem")
+        driver_mem = argv[i + 1]
+        del argv[i:i + 2]
     corpus = argv[0]
     n_batches = int(argv[1]) if len(argv) > 1 else 20
     cores = argv[2] if len(argv) > 2 else "32"
@@ -70,7 +79,9 @@ def main() -> int:
 
     cfg = DedupConfig(shuffle_partitions=128)
     spark = build_session(f"local[{cores}]", app_name="streaming-at-scale",
-                          shuffle_partitions=128)
+                          shuffle_partitions=128,
+                          extra={"spark.driver.memory": driver_mem}
+                          if driver_mem else None)
     spark.sparkContext.setLogLevel("ERROR")
 
     tmp = work_root or tempfile.mkdtemp(prefix="stream_scale_")
