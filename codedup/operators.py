@@ -98,7 +98,7 @@ def blocked_jaccard_join(sh: DataFrame, threshold: float, n_blocks: int = 16,
     that cost across block pairs instead: documents are packed into
     ``n_blocks`` dense set-blocks (ONE groupBy shuffle), the
     NB*(NB+1)/2 unordered block pairs crossJoin, and each task
-    intersects one block pair with a dense 0/1 BLAS matmul over the
+    intersects one block pair with a sparse postings expansion over the
     pair-local vocabulary — exact integer threshold math, bit-identical
     to the naive all-pairs SQL.
 
@@ -120,12 +120,8 @@ def blocked_jaccard_join(sh: DataFrame, threshold: float, n_blocks: int = 16,
         docs = pdf["doc_id"].to_numpy()
         uniq, start = np.unique(docs, return_index=True)
         offsets = np.append(start, docs.size).astype(np.int64)
-        return pd.DataFrame({
-            "blk": [int(pdf["_blk"].iloc[0])],
-            "doc_ids": [uniq.tolist()],
-            "offsets": [offsets.tolist()],
-            "grams": [pdf["g"].to_numpy().astype(np.int64).tobytes()],
-        })
+        return _pack_row(int(pdf["_blk"].iloc[0]), uniq, offsets,
+                         pdf["g"].to_numpy().astype(np.int64))
 
     blocks = (
         sh.withColumn("_blk", F.pmod(F.col("doc_id"), F.lit(n_blocks)))
@@ -161,12 +157,10 @@ def blocked_jaccard_join_text(docs: DataFrame, id_col: str, text_col: str,
                 h = np.zeros(1, dtype=np.uint64)  # '' gram sentinel
             grams.append(h.view(np.int64))
             offsets.append(offsets[-1] + h.size)
-        return pd.DataFrame({
-            "blk": [int(pdf["_blk"].iloc[0])],
-            "doc_ids": [pdf[id_col].to_numpy().tolist()],
-            "offsets": [offsets],
-            "grams": [np.concatenate(grams).tobytes()],
-        })
+        return _pack_row(int(pdf["_blk"].iloc[0]),
+                         pdf[id_col].to_numpy(),
+                         np.asarray(offsets, dtype=np.int64),
+                         np.concatenate(grams))
 
     blocks = (
         docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias(text_col))
@@ -178,6 +172,37 @@ def blocked_jaccard_join_text(docs: DataFrame, id_col: str, text_col: str,
     return _sweep_block_pairs(blocks, threshold, n_blocks, metric)
 
 
+def _pack_row(blk: int, doc_ids, offsets, grams):
+    """One packed-block row.  Besides the raw postings the pack
+    precomputes, ONCE PER BLOCK, everything the sweep would otherwise
+    rebuild once per block PAIR (a block participates in NB+1 pairs):
+
+      vocab   — sorted distinct grams of the block (int64)
+      inv     — posting -> block-vocab id, doc-major (int32)
+      bygram  — doc index per posting, gram-major (int32): the
+                inverted index, i.e. postings grouped by gram
+      gcnt    — postings per block-vocab gram (int32)
+    """
+    import numpy as np
+    import pandas as pd
+
+    vocab, inv = np.unique(grams, return_inverse=True)
+    inv = inv.astype(np.int32)
+    sizes = np.diff(offsets)
+    row_doc = np.repeat(np.arange(doc_ids.size, dtype=np.int32), sizes)
+    bygram = row_doc[np.argsort(inv, kind="stable")]
+    gcnt = np.bincount(inv, minlength=vocab.size).astype(np.int32)
+    return pd.DataFrame({
+        "blk": [blk],
+        "doc_ids": [np.asarray(doc_ids, dtype=np.int64).tolist()],
+        "offsets": [np.asarray(offsets, dtype=np.int64).tolist()],
+        "vocab": [vocab.tobytes()],
+        "inv": [inv.tobytes()],
+        "bygram": [bygram.tobytes()],
+        "gcnt": [gcnt.tobytes()],
+    })
+
+
 def _PACK_SCHEMA():
     from pyspark.sql import types as T
 
@@ -185,15 +210,19 @@ def _PACK_SCHEMA():
         T.StructField("blk", T.LongType()),
         T.StructField("doc_ids", T.ArrayType(T.LongType())),
         T.StructField("offsets", T.ArrayType(T.LongType())),
-        T.StructField("grams", T.BinaryType()),
+        T.StructField("vocab", T.BinaryType()),
+        T.StructField("inv", T.BinaryType()),
+        T.StructField("bygram", T.BinaryType()),
+        T.StructField("gcnt", T.BinaryType()),
     ])
 
 
 def _sweep_block_pairs(blocks: DataFrame, threshold: float, n_blocks: int,
                        metric: str = "jaccard") -> DataFrame:
     """Shared sweep over packed set-blocks: unordered block pairs
-    crossJoin; each task intersects one pair with a dense 0/1 matmul
-    over the pair-local vocabulary.
+    crossJoin; each task intersects one pair with a sparse
+    inverted-index postings expansion over the pair-local vocabulary
+    (cost = the intrinsic sum_g df_x(g) * df_y(g), exact int64 counts).
 
     metric="jaccard":      threshold on c / (na + nb - c)
     metric="containment":  threshold on c / min(na, nb) — max-containment,
@@ -211,51 +240,133 @@ def _sweep_block_pairs(blocks: DataFrame, threshold: float, n_blocks: int,
     # both crossJoin sides read this; without an eager checkpoint the
     # lazy plan re-runs the shingle/pack UDF once per side
     blocks = blocks.localCheckpoint(eager=True)
-    x = blocks.toDF("xblk", "xdocs", "xoff", "xg")
-    y = blocks.toDF("yblk", "ydocs", "yoff", "yg")
+    x = blocks.toDF("xblk", "xdocs", "xoff", "xv", "xinv", "xbg", "xgc")
+    y = blocks.toDF("yblk", "ydocs", "yoff", "yv", "yinv", "ybg", "ygc")
+    # one block pair per task: the sweep is CPU-dense and pairs are few,
+    # so per-pair tasks give the scheduler the finest stealing grain
+    # (4-5 pairs lumped per task left a 20-30% straggler tail)
+    n_pairs = n_blocks * (n_blocks + 1) // 2
     pairs = (
         x.crossJoin(y)
         .filter(F.col("xblk") <= F.col("yblk"))
-        .repartition(max(spark.sparkContext.defaultParallelism, n_blocks))
+        .repartition(max(spark.sparkContext.defaultParallelism, n_pairs))
     )
 
-    X_CHUNK = 1024  # x docs per matmul: indicator matrix = X_CHUNK * V f64
+    X_CHUNK = 1024    # x docs per count matrix: X_CHUNK * n_y int64
+    # per-gram expansion-vs-gemm breakeven: a gemm column costs
+    # ~n_x*n_y MACs at ~17 effective GFLOPS (incl. matrix build), a
+    # gather entry ~5 ns, so only grams whose df product exceeds ~1e5
+    # pay their way as dense columns (measured on the sf1.0 corpus:
+    # H drops to the few-hundred boilerplate grams, everything else
+    # rides the cache-resident per-doc bincount)
+    HOT_MACS = 1 << 17
 
     def gen(it):
         for pdf in it:
             for row in pdf.itertuples(index=False):
                 xdocs = np.asarray(row.xdocs, dtype=np.int64)
                 xoff = np.asarray(row.xoff, dtype=np.int64)
-                xg = np.frombuffer(row.xg, dtype=np.int64)
+                vx = np.frombuffer(row.xv, dtype=np.int64)
+                ivx = np.frombuffer(row.xinv, dtype=np.int32)
+                gcx = np.frombuffer(row.xgc, dtype=np.int32)
                 ydocs = np.asarray(row.ydocs, dtype=np.int64)
                 yoff = np.asarray(row.yoff, dtype=np.int64)
-                yg = np.frombuffer(row.yg, dtype=np.int64)
+                vy = np.frombuffer(row.yv, dtype=np.int64)
+                ivy = np.frombuffer(row.yinv, dtype=np.int32)
+                bygy = np.frombuffer(row.ybg, dtype=np.int32)
+                gcy = np.frombuffer(row.ygc, dtype=np.int32)
                 same = row.xblk == row.yblk
                 n_x, n_y = xdocs.size, ydocs.size
                 x_sizes = np.diff(xoff)
                 y_sizes = np.diff(yoff)
 
-                # intersection counts as a dense 0/1 matmul over the
-                # pair-local vocabulary: for a SMALL universe the BLAS
-                # gemm (n_x/chunk x V x n_y) beats postings gather.
-                # float32 sums of 0/1 are exact below 2^24; a doc's gram
-                # set (and hence any count) can't reach that unless a
-                # single document has >16M distinct grams — guarded.
-                dt = (np.float32
-                      if max(x_sizes.max(), y_sizes.max()) < (1 << 24) else np.float64)
-                vocab, inv = np.unique(np.concatenate([xg, yg]), return_inverse=True)
-                x_inv, y_inv = inv[: xg.size], inv[xg.size:]
-                x_row_doc = np.repeat(np.arange(n_x, dtype=np.int64), x_sizes)
-                y_row_doc = np.repeat(np.arange(n_y, dtype=np.int64), y_sizes)
-                ymat = np.zeros((n_y, vocab.size), dtype=dt)
-                ymat[y_row_doc, y_inv] = 1.0
+                # Intersection counts, HYBRID by per-gram cost (guide
+                # §1.2 — fix the algorithm; §2.5 — skew needs a split,
+                # one regime never fits):
+                #   * COLD grams (the vocabulary tail): inverted-index
+                #     gather — per x doc, concatenate the y-postings of
+                #     its cold grams and bincount them into that doc's
+                #     count row.  Cost is the intrinsic
+                #     sum_g df_x(g)*df_y(g); the scatter target is one
+                #     n_y row (cache-resident), not an n_x*n_y matrix.
+                #   * HOT grams (boilerplate shared by a large doc
+                #     fraction, where df_x*df_y explodes): dense 0/1
+                #     gemm over JUST the hot columns — n_x * V_hot *
+                #     n_y MACs with V_hot tiny.
+                # Split per gram at df_x(g)*df_y(g) > HOT_MACS (the
+                # measured expansion-entry vs gemm-column breakeven).
+                # Both halves produce exact integer counts (float32
+                # 0/1 sums are exact below 2^24 columns).
+                vocab = np.union1d(vx, vy)      # both inputs sorted+unique
+                V = vocab.size
+                mapx = np.searchsorted(vocab, vx)
+                mapy = np.searchsorted(vocab, vy)
+                cxp = np.zeros(V, dtype=np.int64)
+                cxp[mapx] = gcx
+                cyp = np.zeros(V, dtype=np.int64)
+                cyp[mapy] = gcy
+                hot = (cxp * cyp) > HOT_MACS
+                H = int(np.count_nonzero(hot))
+
+                # block-x-domain tables for the cold per-doc gather:
+                # for every x-block gram, where its y postings live and
+                # how many there are (0 when absent on y or hot)
+                pos = np.searchsorted(vy, vx)
+                posc = np.minimum(pos, vy.size - 1)
+                on_y = vy[posc] == vx
+                hot_xb = hot[mapx]
+                # int32 index arithmetic throughout the gather: posting
+                # counts and offsets fit easily, and the idx temporaries
+                # are the gather's main memory traffic
+                reps_xb = np.where(on_y & ~hot_xb, gcy[posc], 0).astype(np.int32)
+                yso = np.zeros(vy.size, dtype=np.int32)
+                np.cumsum(gcy[:-1], out=yso[1:])
+                ystart_xb = yso[posc]
+
+                # dense 0/1 matrix of HOT gram membership per y doc
+                if H:
+                    dt = np.float32 if H < (1 << 24) else np.float64
+                    hotcol = np.cumsum(hot) - 1      # pair gram -> hot col
+                    y_row_doc = np.repeat(
+                        np.arange(n_y, dtype=np.int32), y_sizes)
+                    hot_yb = hot[mapy]
+                    colmap_yb = np.where(hot_yb, hotcol[mapy], 0)
+                    hm_y = hot_yb[ivy]
+                    ymat = np.zeros((n_y, H), dtype=dt)
+                    ymat[y_row_doc[hm_y], colmap_yb[ivy[hm_y]]] = 1.0
+                    colmap_xb = np.where(hot_xb, hotcol[mapx], 0)
+                    x_row_doc = np.repeat(
+                        np.arange(n_x, dtype=np.int32), x_sizes)
 
                 for lo in range(0, n_x, X_CHUNK):
                     hi = min(lo + X_CHUNK, n_x)
-                    rlo, rhi = np.searchsorted(x_row_doc, (lo, hi))
-                    xmat = np.zeros((hi - lo, vocab.size), dtype=dt)
-                    xmat[x_row_doc[rlo:rhi] - lo, x_inv[rlo:rhi]] = 1.0
-                    cnt = np.rint(xmat @ ymat.T).astype(np.int64)
+                    cnt = np.zeros((hi - lo, n_y), dtype=np.int64)
+
+                    # --- hot half: gemm over the hot columns only ---
+                    if H:
+                        rlo, rhi = int(xoff[lo]), int(xoff[hi])
+                        ivx_sl = ivx[rlo:rhi]
+                        hm_x = hot_xb[ivx_sl]
+                        xmat = np.zeros((hi - lo, H), dtype=dt)
+                        xmat[(x_row_doc[rlo:rhi] - lo)[hm_x],
+                             colmap_xb[ivx_sl[hm_x]]] = 1.0
+                        cnt += np.rint(xmat @ ymat.T).astype(np.int64)
+
+                    # --- cold half: per-doc inverted-index gather ---
+                    for d in range(lo, hi):
+                        gs = ivx[xoff[d]:xoff[d + 1]]
+                        reps = reps_xb[gs]
+                        m = reps > 0
+                        if not m.any():
+                            continue
+                        reps = reps[m]
+                        tot = int(reps.sum(dtype=np.int64))
+                        starts = np.zeros(reps.size, dtype=np.int32)
+                        np.cumsum(reps[:-1], out=starts[1:])
+                        idx = (np.arange(tot, dtype=np.int32)
+                               - np.repeat(starts, reps)
+                               + np.repeat(ystart_xb[gs[m]], reps))
+                        cnt[d - lo] += np.bincount(bygy[idx], minlength=n_y)
                     na = x_sizes[lo:hi][:, None]
                     if metric == "containment":
                         denom = np.minimum(np.broadcast_to(na, cnt.shape),

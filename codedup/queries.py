@@ -193,7 +193,10 @@ def q_doc_rarest_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     extractor of a training-data pipeline without float tf-idf — the
     ordering is exactly what idf induces, in pure integer/string sort
     (cross-engine hash-safe)."""
-    docs = _t(spark, sf_dir, "documents")
+    # single-file scan -> spread the tokenize+explode across cores
+    # before the distinct (guide §2.5 input skew)
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism)
     toks = docs.select("doc_id", F.explode(F.expr(_TOKENS)).alias("tok")).distinct()
     df_t = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("tok"))
@@ -310,7 +313,16 @@ def _spill_path(sf_dir: str, prefix: str, extra: str) -> str | None:
             # derivable per-uid path (ADVICE r4).  Accept the dir only
             # if we own it and nobody else can write it; otherwise run
             # with the spill disabled rather than read poisoned bytes.
-            st_root = os.stat(root)
+            # lstat, not stat (ADVICE r5): stat follows symlinks, so a
+            # pre-created symlink to an attacker-chosen victim-owned
+            # dir would pass the ownership check while redirecting
+            # cache WRITES there.  lstat sees the link itself (not a
+            # directory) and rejects it.
+            import stat as stat_mod
+
+            st_root = os.lstat(root)
+            if not stat_mod.S_ISDIR(st_root.st_mode):
+                return None
             if hasattr(os, "getuid") and (
                 st_root.st_uid != os.getuid() or (st_root.st_mode & 0o022)
             ):
@@ -369,13 +381,21 @@ def _minhash_pipeline_pairs(spark: SparkSession, sf_dir: str, cfg: DedupConfig) 
     from codedup.stages.signatures import compute_signatures
     from codedup.stages.verify import verify_pairs
 
+    par = spark.sparkContext.defaultParallelism
     files = _docs_as_files(_t(spark, sf_dir, "documents"))
     # eager localCheckpoints at every multi-consumer branch point: the
     # lazy plan would otherwise re-run the signature UDF once per branch
     # (bucket sizing, both verify joins, ...)
-    fp = fingerprint(files).localCheckpoint(eager=True)
+    fp = fingerprint(files.repartition(par)).localCheckpoint(eager=True)
     reps = representatives(fp).localCheckpoint(eager=True)
-    sigs = compute_signatures(reps.select("file_id", "content"), cfg).localCheckpoint(eager=True)
+    # explicit spread before the signature kernel: the documents table
+    # is one parquet file and AQE's advisory-size coalescing shrinks
+    # the upstream exchanges to a handful of partitions (measured 10 at
+    # sf1.0) — correct for byte-bound stages, wrong for this CPU-bound
+    # Arrow stage (same rationale as the verify-stage repartition)
+    sigs = compute_signatures(
+        reps.select("file_id", "content").repartition(par), cfg
+    ).localCheckpoint(eager=True)
     cands = candidate_pairs(band_rows(sigs, cfg), cfg).localCheckpoint(eager=True)
     verified = verify_pairs(cands, reps, sigs, cfg)
 
@@ -1051,7 +1071,10 @@ def q_simhash_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines share (first 15 hex chars of md5).  The pipeline's
     internal SimHash uses splitmix64 (faster); this portable variant is
     the oracle-checkable twin of kernel K3."""
-    docs = _t(spark, sf_dir, "documents")
+    # single-file scan -> spread the tokenize+explode across cores
+    # before the distinct (guide §2.5 input skew)
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism)
     toks = (
         docs.select("doc_id", F.explode(F.expr(_TOKENS)).alias("tok"))
         .distinct()
@@ -1224,11 +1247,26 @@ def _winnowing_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bind the gram-hash array ONCE via a lambda (SQL has no let;
     # projection collapse would otherwise inline + recompute the md5
     # transform for each of its three uses)
+    # window minimum as least() over direct element indexing: the
+    # earlier array_min(slice(a, p, W)) allocated a fresh W-element
+    # array per window inside the interpreted lambda — the allocation
+    # churn, not the md5, was the stage's cost (doc_minhash_fingerprint
+    # runs the same 14M md5s in <1s).  least() of W direct lookups is
+    # the same value with zero allocation.
+    win_min = "least(" + ", ".join(
+        f"a[p + {j - 1}]" for j in range(WINNOW_W)) + ")"
     fps = (f"element_at(transform(array({hvs}), a -> "
            f"CASE WHEN size(a) <= {WINNOW_W} THEN array(array_min(a)) "
            f"ELSE array_distinct(transform(sequence(1, size(a) - {WINNOW_W} + 1),"
-           f" p -> array_min(slice(a, p, {WINNOW_W})))) END), 1)")
-    out = docs.select("doc_id", F.explode(F.expr(fps)).alias("fp")).distinct()
+           f" p -> {win_min})) END), 1)")
+    # the documents table is ONE parquet file with one row group -> one
+    # scan task, and the per-positional-gram md5 expression above is
+    # interpreted (higher-order lambdas don't codegen), so without this
+    # spread the whole winnowing pass runs on a single core (guide §2.5
+    # input skew: repartition immediately after the read; the exchange
+    # moves ~300 B/doc, the compute it unlocks is ~100x that)
+    out = (docs.repartition(spark.sparkContext.defaultParallelism)
+           .select("doc_id", F.explode(F.expr(fps)).alias("fp")).distinct())
     if spill is not None:
         out = _publish_spill(spark, out.localCheckpoint(eager=True), spill)
     else:
@@ -1411,14 +1449,26 @@ def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str,
     the oracle (identical literal hyperplanes)."""
     emb = _t(spark, sf_dir, "embeddings")
     bcol = F.expr(_bucket_expr("embedding", base=0, n_planes=params.n_planes)).cast("long")
-    dot = "aggregate(zip_with(qa, eb, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+    # Unrolled codegen dot product: the higher-order aggregate(zip_with)
+    # form is interpreted per element per PAIR (no codegen for lambda
+    # functions), which made the candidate-scoring projection the query's
+    # cost center.  The unrolled chain folds left-to-right exactly like
+    # the aggregate (0D + p0 == p0 for doubles), so sim6 is bit-identical.
+    # each product is a FLOAT multiply cast to double, then the chain
+    # accumulates in double — exactly the fold's cast(v AS DOUBLE) step
+    dot = " + ".join(f"CAST((qa[{i}] * eb[{i}]) AS DOUBLE)" for i in range(ANN_DIM))
     norm = "sqrt(aggregate(transform({0}, x -> x * x), 0D, (acc, v) -> acc + v))"
+    # norms are per ROW, not per pair: compute them once on each side
+    # before the join instead of re-deriving them for every candidate
+    # (guide §2.3 — shed work before it multiplies)
     all_b = emb.select(F.col("vec_id").alias("neighbor_id"),
-                       F.col("embedding").alias("eb"), bcol.alias("nb"))
+                       F.col("embedding").alias("eb"), bcol.alias("nb"),
+                       F.expr(norm.format("embedding")).alias("en"))
     probes = (
         emb.filter(F.col("vec_id") % 50 == 0)
         .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qa"),
-                bcol.alias("qb"))
+                bcol.alias("qb"),
+                F.expr(norm.format("embedding")).alias("qn"))
     )
     if params.probe_hamming not in (0, 1, 2):
         raise ValueError("probe_hamming > 2 not implemented (candidate "
@@ -1434,12 +1484,17 @@ def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str,
     # all 1 + p + C(p,2) exploded values are pairwise distinct, so each
     # (query, neighbor) pair still matches through at most one value
     probe_buckets = F.array(F.col("qb"), *flips)
-    probes_x = probes.withColumn("pb", F.explode(probe_buckets)).drop("qb")
+    # the documents/embeddings tables arrive as ONE parquet file (one
+    # row group -> one scan task); without this spread the entire
+    # candidate scoring projection runs on a single core (guide §2.5,
+    # input skew: repartition immediately after the read)
+    probes_x = (probes.withColumn("pb", F.explode(probe_buckets)).drop("qb")
+                .repartition(spark.sparkContext.defaultParallelism))
     cand = (
         probes_x.join(all_b, probes_x["pb"] == all_b["nb"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("sim6", F.round(
-            F.expr(dot) / (F.expr(norm.format("qa")) * F.expr(norm.format("eb"))), 6))
+        .withColumn("sim6", F.round(F.expr(dot) / (F.col("qn") * F.col("en")), 6))
+        .select("query_id", "neighbor_id", "sim6")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim6"), F.asc("neighbor_id"))
     return (

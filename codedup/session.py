@@ -24,7 +24,24 @@ def build_session(
     extra: dict[str, str] | None = None,
 ) -> SparkSession:
     cfg = config or DedupConfig()
+    # One BLAS thread per task slot (guide §4.5): every executor core
+    # runs one Python worker, and numpy's OpenBLAS otherwise spawns
+    # nproc threads PER WORKER — on a 32-slot host that is 32x32 = 1024
+    # compute threads thrashing each other during the matmul kernels
+    # (blocked sweep, ANN blocks).  Parallelism belongs to Spark; the
+    # kernel gets one core.  Parameterised via CODEDUP_BLAS_THREADS for
+    # deployments whose executors run fewer, fatter tasks.
+    blas = os.environ.get("CODEDUP_BLAS_THREADS", "1")
+    for var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS",
+                "MKL_NUM_THREADS", "NUMEXPR_NUM_THREADS"):
+        os.environ.setdefault(var, blas)
     b = SparkSession.builder.appName(app_name)
+    # the same pinning must reach remote executors' Python workers when
+    # running under a real cluster manager (local mode inherits the
+    # driver env set above)
+    for var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS",
+                "MKL_NUM_THREADS", "NUMEXPR_NUM_THREADS"):
+        b = b.config(f"spark.executorEnv.{var}", os.environ[var])
     if master:
         b = b.master(master)
     b = (

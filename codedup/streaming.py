@@ -326,10 +326,19 @@ class IncrementalDedup:
         # lived in this batch's memory, the next batch would see a
         # stats dir holding nothing but this batch's delta and
         # undercount every pre-stats bucket (wrong size policy, wrong
-        # rep) — the bootstrap must enter the merge-on-read lineage
+        # rep) — the bootstrap must enter the merge-on-read lineage.
+        # Stage-then-rename (ADVICE r5): a direct write crashing midway
+        # leaves a partial batch_id=-1 that a retry would accept as
+        # done (undercounted stats silently entering the lineage); the
+        # dot-prefixed tmp dir is invisible to parquet discovery and
+        # the rename is atomic.
+        import shutil
+
+        tmp = os.path.join(self.stats_dir, f".tmp-boot-{os.getpid()}")
+        shutil.rmtree(tmp, ignore_errors=True)
         boot.repartition(max(self.cfg.shuffle_partitions // 16, 2)) \
-            .write.mode("overwrite").parquet(
-                os.path.join(self.stats_dir, "batch_id=-1"))
+            .write.mode("overwrite").parquet(tmp)
+        os.rename(tmp, os.path.join(self.stats_dir, "batch_id=-1"))
         return self._read_or_none(self.stats_dir)
 
     def _incremental_candidates(self, new_bands: DataFrame,
