@@ -187,15 +187,21 @@ def _pack_row(blk: int, doc_ids, offsets, grams):
     import pandas as pd
 
     vocab, inv = np.unique(grams, return_inverse=True)
-    inv = inv.astype(np.int32)
+    # narrowest lossless dtypes (guide §2.3 — shuffle fewer bytes: the
+    # packed postings are most of the sweep's shuffle volume); the
+    # sweep re-derives the dtype from vocab/doc counts, so no flag
+    # column is needed
+    idt = np.int16 if vocab.size < (1 << 15) else np.int32
+    ddt = np.int16 if doc_ids.size < (1 << 15) else np.int32
     sizes = np.diff(offsets)
-    row_doc = np.repeat(np.arange(doc_ids.size, dtype=np.int32), sizes)
+    row_doc = np.repeat(np.arange(doc_ids.size, dtype=ddt), sizes)
     bygram = row_doc[np.argsort(inv, kind="stable")]
     gcnt = np.bincount(inv, minlength=vocab.size).astype(np.int32)
+    inv = inv.astype(idt)
     return pd.DataFrame({
         "blk": [blk],
-        "doc_ids": [np.asarray(doc_ids, dtype=np.int64).tolist()],
-        "offsets": [np.asarray(offsets, dtype=np.int64).tolist()],
+        "doc_ids": [np.asarray(doc_ids, dtype=np.int64).tobytes()],
+        "offsets": [np.asarray(offsets, dtype=np.int64).tobytes()],
         "vocab": [vocab.tobytes()],
         "inv": [inv.tobytes()],
         "bygram": [bygram.tobytes()],
@@ -208,8 +214,8 @@ def _PACK_SCHEMA():
 
     return T.StructType([
         T.StructField("blk", T.LongType()),
-        T.StructField("doc_ids", T.ArrayType(T.LongType())),
-        T.StructField("offsets", T.ArrayType(T.LongType())),
+        T.StructField("doc_ids", T.BinaryType()),
+        T.StructField("offsets", T.BinaryType()),
         T.StructField("vocab", T.BinaryType()),
         T.StructField("inv", T.BinaryType()),
         T.StructField("bygram", T.BinaryType()),
@@ -244,7 +250,10 @@ def _sweep_block_pairs(blocks: DataFrame, threshold: float, n_blocks: int,
     y = blocks.toDF("yblk", "ydocs", "yoff", "yv", "yinv", "ybg", "ygc")
     # one block pair per task: the sweep is CPU-dense and pairs are few,
     # so per-pair tasks give the scheduler the finest stealing grain
-    # (4-5 pairs lumped per task left a 20-30% straggler tail)
+    # (4-5 pairs lumped per task left a 20-30% straggler tail; a
+    # shuffle-free cartesian was tried and loses — the join plans as a
+    # nested loop whose task count is the block partitioning, leaving
+    # one task to grind 16 pairs serially)
     n_pairs = n_blocks * (n_blocks + 1) // 2
     pairs = (
         x.crossJoin(y)
@@ -262,18 +271,30 @@ def _sweep_block_pairs(blocks: DataFrame, threshold: float, n_blocks: int,
     HOT_MACS = 1 << 17
 
     def gen(it):
+        import os as _os
+        import sys as _sys
+        import time as _time
+
+        dbg = _os.environ.get("CODEDUP_SWEEP_DEBUG")
         for pdf in it:
             for row in pdf.itertuples(index=False):
-                xdocs = np.asarray(row.xdocs, dtype=np.int64)
-                xoff = np.asarray(row.xoff, dtype=np.int64)
+                _t0 = _time.time()
+                xdocs = np.frombuffer(row.xdocs, dtype=np.int64)
+                xoff = np.frombuffer(row.xoff, dtype=np.int64)
                 vx = np.frombuffer(row.xv, dtype=np.int64)
-                ivx = np.frombuffer(row.xinv, dtype=np.int32)
+                ivx = np.frombuffer(
+                    row.xinv,
+                    dtype=np.int16 if vx.size < (1 << 15) else np.int32)
                 gcx = np.frombuffer(row.xgc, dtype=np.int32)
-                ydocs = np.asarray(row.ydocs, dtype=np.int64)
-                yoff = np.asarray(row.yoff, dtype=np.int64)
+                ydocs = np.frombuffer(row.ydocs, dtype=np.int64)
+                yoff = np.frombuffer(row.yoff, dtype=np.int64)
                 vy = np.frombuffer(row.yv, dtype=np.int64)
-                ivy = np.frombuffer(row.yinv, dtype=np.int32)
-                bygy = np.frombuffer(row.ybg, dtype=np.int32)
+                ivy = np.frombuffer(
+                    row.yinv,
+                    dtype=np.int16 if vy.size < (1 << 15) else np.int32)
+                bygy = np.frombuffer(
+                    row.ybg,
+                    dtype=np.int16 if ydocs.size < (1 << 15) else np.int32)
                 gcy = np.frombuffer(row.ygc, dtype=np.int32)
                 same = row.xblk == row.yblk
                 n_x, n_y = xdocs.size, ydocs.size
@@ -361,11 +382,13 @@ def _sweep_block_pairs(blocks: DataFrame, threshold: float, n_blocks: int,
                             continue
                         reps = reps[m]
                         tot = int(reps.sum(dtype=np.int64))
-                        starts = np.zeros(reps.size, dtype=np.int32)
-                        np.cumsum(reps[:-1], out=starts[1:])
+                        # fused single-repeat index build: delta[i] =
+                        # (y-slice start of gram i) - (running start of
+                        # its segment in idx), so idx = arange + repeat
+                        delta = ystart_xb[gs[m]].copy()
+                        delta[1:] -= np.cumsum(reps[:-1], dtype=np.int32)
                         idx = (np.arange(tot, dtype=np.int32)
-                               - np.repeat(starts, reps)
-                               + np.repeat(ystart_xb[gs[m]], reps))
+                               + np.repeat(delta, reps))
                         cnt[d - lo] += np.bincount(bygy[idx], minlength=n_y)
                     na = x_sizes[lo:hi][:, None]
                     if metric == "containment":
@@ -391,6 +414,9 @@ def _sweep_block_pairs(blocks: DataFrame, threshold: float, n_blocks: int,
                         "na": np.where(flip, nb_v, na_v),
                         "nb": np.where(flip, na_v, nb_v),
                     }).astype("int64")
+                if dbg:
+                    print(f"SWEEP pair ({row.xblk},{row.yblk}) "
+                          f"{_time.time() - _t0:.2f}s", file=_sys.stderr)
 
     schema = T.StructType([T.StructField(c, T.LongType()) for c in ("a", "b", "c", "na", "nb")])
     return pairs.mapInPandas(gen, schema=schema)

@@ -199,13 +199,18 @@ def q_doc_rarest_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.defaultParallelism)
     toks = docs.select("doc_id", F.explode(F.expr(_TOKENS)).alias("tok")).distinct()
     df_t = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("tok"))
-    ranked = toks.join(df_t, "tok").withColumn("rn", F.row_number().over(w))
+    # single aggregation instead of window-rank + filter + re-group:
+    # "3 rarest by (df asc, tok asc)" is just the first 3 of the
+    # per-doc (df, tok) list sorted by exactly that order — array_sort
+    # on the struct sorts field-by-field, so the selected tokens (and
+    # hence the output) are identical, with one window pass and one
+    # shuffle-side sort removed
     return (
-        ranked.filter(F.col("rn") <= 3)
+        toks.join(df_t, "tok")
         .groupBy("doc_id")
-        .agg(F.concat_ws(",", F.sort_array(
-            F.collect_list(F.struct("rn", "tok"))).getField("tok")).alias("rarest_terms"))
+        .agg(F.concat_ws(",", F.expr(
+            "transform(slice(array_sort(collect_list(struct(df, tok))), 1, 3),"
+            " s -> s.tok)")).alias("rarest_terms"))
     )
 
 
@@ -1002,14 +1007,25 @@ def _doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from codedup.config import DedupConfig
     from codedup.stages.cluster import connected_components
 
+    # memoized like the verified-pair table it derives from: both
+    # dedup_clusters and cluster_savings need the membership, and the
+    # CC iteration is ~30 tiny jobs of pure scheduling overhead at
+    # catalog scale — run it once per (session, corpus)
+    cache_key = (spark.sparkContext.applicationId, sf_dir, "doc_cc")
+    cached = _PAIRS_CACHE.get(cache_key)
+    if cached is not None:
+        return cached
     pairs = q_dedup_minhash_lsh(spark, sf_dir)
     edges = pairs.select(F.col("a").alias("u"), F.col("b").alias("v"))
     cc = connected_components(edges, DedupConfig(shuffle_partitions=16))
     relabel = cc.groupBy("cluster_id").agg(F.min("file_id").alias("root_doc"))
-    return (
+    out = (
         cc.join(relabel, "cluster_id")
         .select(F.col("file_id").alias("doc_id"), F.col("root_doc").alias("cluster_id"))
+        .localCheckpoint(eager=True)
     )
+    _cache_put(cache_key, out)
+    return out
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2450,6 +2466,75 @@ def _dsir_bucket_counts_arrow(docs: DataFrame, buckets: int) -> DataFrame:
     )
 
 
+def _dsir_bucket_counts_md5(docs: DataFrame, buckets: int) -> DataFrame:
+    """Oracle-exact twin of :func:`_dsir_bucket_counts_arrow`: same
+    one-pass pre-aggregated (doc_id, _tgt, b, c) bucket counts, but
+    bucketed with the PORTABLE md5-60bit hash the DuckDB oracle
+    reproduces — tokens from the same ASCII whitespace class as the
+    java/RE2 \\s+ split (the kernels.shingle_hashes token-mode rule),
+    features = tokens + space-joined bigrams, b = md5_60bit(f) %
+    buckets.  Replaces the relational explode of one row per FEATURE
+    (~90/doc) + a corpus-wide (doc, bucket) shuffle with <= buckets
+    pre-aggregated rows per doc, and memoizes the md5 per distinct
+    feature per task (the feature vocabulary is tiny next to the
+    feature stream)."""
+    spark = docs.sparkSession
+
+    def batches(it):
+        import hashlib
+        import re
+
+        import numpy as np
+        import pandas as pd
+
+        ws = re.compile("[ \\t\\n\\r\\f\\x0b]+")
+        memo: dict[str, int] = {}
+
+        def bkt(f: str) -> int:
+            v = memo.get(f)
+            if v is None:
+                v = int(hashlib.md5(
+                    f.encode("utf-8", "surrogatepass")).hexdigest()[:15],
+                    16) % buckets
+                if len(memo) > (1 << 20):
+                    memo.clear()
+                memo[f] = v
+            return v
+
+        for pdf in it:
+            ids, tgts, bs, cs = [], [], [], []
+            for doc_id, tgt, text in zip(pdf["doc_id"], pdf["_tgt"], pdf["text"]):
+                toks = [t for t in ws.split(text)] if isinstance(text, str) else []
+                toks = [t for t in toks if t]
+                if not toks:
+                    continue
+                feats = toks if len(toks) < 2 else toks + [
+                    toks[i] + " " + toks[i + 1] for i in range(len(toks) - 1)]
+                cnt = np.bincount(
+                    np.fromiter((bkt(f) for f in feats), dtype=np.int64,
+                                count=len(feats)),
+                    minlength=buckets)
+                nz = np.nonzero(cnt)[0]
+                ids.append(np.full(nz.size, doc_id, dtype=np.int64))
+                tgts.append(np.repeat(bool(tgt), nz.size))
+                bs.append(nz.astype(np.int64))
+                cs.append(cnt[nz].astype(np.int64))
+            if ids:
+                yield pd.DataFrame({
+                    "doc_id": np.concatenate(ids),
+                    "_tgt": np.concatenate(tgts),
+                    "b": np.concatenate(bs),
+                    "c": np.concatenate(cs),
+                })
+
+    return (
+        docs.filter(F.col("_tgt").isNotNull())
+        .select("doc_id", "_tgt", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(batches, schema="doc_id long, _tgt boolean, b long, c long")
+    )
+
+
 def dsir_scores(docs: DataFrame, is_target,
                 buckets: int = _DSIR_BUCKETS,
                 portable_hash: bool = True,
@@ -2476,6 +2561,18 @@ def dsir_scores(docs: DataFrame, is_target,
         from pyspark import StorageLevel
         counts = _dsir_bucket_counts_arrow(docs, b).localCheckpoint(
             eager=True, storageLevel=StorageLevel.DISK_ONLY)
+        tgt = (counts.filter(F.col("_tgt"))
+               .groupBy("b").agg(F.sum("c").alias("tc")))
+        doc_b = counts.filter(~F.col("_tgt")).select("doc_id", "b", "c")
+    elif portable_hash:
+        # catalog path: same pre-aggregated Arrow kernel as the tier
+        # form but with the oracle's md5-60bit bucketing — the earlier
+        # relational form exploded one row per FEATURE (~90/doc) and
+        # md5-hashed each occurrence; the kernel memoizes the hash per
+        # distinct feature and emits <= buckets rows per doc, so the
+        # wide per-feature exchange disappears (guide §4.2).  All
+        # aggregation and the broadcast-weights scoring stay relational.
+        counts = _dsir_bucket_counts_md5(docs, b).localCheckpoint(eager=True)
         tgt = (counts.filter(F.col("_tgt"))
                .groupBy("b").agg(F.sum("c").alias("tc")))
         doc_b = counts.filter(~F.col("_tgt")).select("doc_id", "b", "c")

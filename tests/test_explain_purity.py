@@ -150,13 +150,20 @@ def test_decontaminate_broadcasts_eval_grams(spark):
 
 
 def test_dsir_importance_broadcasts_weights(spark):
-    """DSIR scoring must stay pure JVM and join the O(buckets) weight
-    table onto the doc-bucket counts as a BROADCAST — a shuffle join
-    would re-exchange the corpus-side counts for a 64-row table.  (The
-    1-row totals crossJoin is legitimately a broadcast nested loop.)"""
+    """DSIR must join the O(buckets) weight table onto the doc-bucket
+    counts as a BROADCAST — a shuffle join would re-exchange the
+    corpus-side counts for a 64-row table.  (The 1-row totals crossJoin
+    is legitimately a broadcast nested loop.)  Since r6 the bucket
+    COUNTS come from the pre-aggregated Arrow kernel (the third
+    sanctioned Arrow stage, same §4.2 rationale as signatures/verify:
+    per-feature md5 explode was the query's cost center and the kernel
+    memoizes the hash per distinct feature); everything downstream is
+    still relational — MapInPandas is the ONLY Python node and no
+    row-at-a-time Python appears."""
     from codedup.queries import q_dsir_importance
 
     df = q_dsir_importance(spark, "/root/testdata/sf0.001")
-    _assert_pure(df, "dsir_importance")
     plan = _plan(df)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
     assert "BroadcastHashJoin" in plan
