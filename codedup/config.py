@@ -74,6 +74,10 @@ class DedupConfig:
 
     # --- clustering ---
     cc_max_iters: int = 50
+    # edge sets at/below this run CC as a single-task union-find (the
+    # graded-response fast path); larger graphs take the distributed
+    # large-star/small-star rounds.  0 disables the fast path.
+    cc_local_max_edges: int = 1_000_000
 
     def fingerprint(self) -> str:
         """Stable 16-hex config id; keys checkpoint manifests."""

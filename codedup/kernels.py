@@ -180,6 +180,80 @@ def minhash_signature(shingles: np.ndarray, num_perm: int, seed: int) -> np.ndar
     return acc.view(np.int64)
 
 
+def minhash_signatures_batch(concat: np.ndarray, sizes: np.ndarray,
+                             num_perm: int, seed: int) -> np.ndarray:
+    """MinHash signatures for MANY documents at once: ``concat`` is the
+    concatenation of every document's shingle array (uint64), ``sizes``
+    the per-document shingle counts.  Returns (n_docs, num_perm) int64,
+    row-identical to calling :func:`minhash_signature` per document
+    (min is associative; the arithmetic per element is unchanged) —
+    asserted in tests/test_kernels.py.  Vectorizing across documents
+    amortizes the per-numpy-call overhead that dominates the per-doc
+    form at ~300 shingles/doc (measured ~3x on the signature stage)."""
+    n = sizes.size
+    out = np.full((n, num_perm), EMPTY_MIN, dtype=np.int64)
+    nz = np.nonzero(sizes > 0)[0]
+    if nz.size == 0:
+        return out
+    seeds = minhash_perms(num_perm, seed)
+    bounds = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(sizes, out=bounds[1:])
+    SH_BUDGET = 1 << 17   # shingles per tile: PCHUNK x budget x 8 B
+    PCHUNK = 32
+    res = np.empty((nz.size, num_perm), dtype=np.uint64)
+    i = 0
+    with np.errstate(over="ignore"):
+        while i < nz.size:
+            j = i + 1
+            start = bounds[nz[i]]
+            while j < nz.size and bounds[nz[j] + 1] - start <= SH_BUDGET:
+                j += 1
+            docs = nz[i:j]
+            lo, hi = bounds[docs[0]], bounds[docs[-1] + 1]
+            seg = concat[lo:hi]
+            starts = bounds[docs] - lo
+            for plo in range(0, num_perm, PCHUNK):
+                phi = min(plo + PCHUNK, num_perm)
+                vals = _splitmix64(seg[None, :] ^ seeds[plo:phi, None])
+                res[i:j, plo:phi] = np.minimum.reduceat(vals, starts, axis=1).T
+            i = j
+    out[nz] = res.view(np.int64)
+    return out
+
+
+def simhash64_batch(concat: np.ndarray, sizes: np.ndarray) -> np.ndarray:
+    """SimHash64 for many documents at once over concatenated shingle
+    arrays; element-identical to :func:`simhash64` per document
+    (asserted in tests/test_kernels.py)."""
+    n = sizes.size
+    out = np.zeros(n, dtype=np.int64)
+    nz = np.nonzero(sizes > 0)[0]
+    if nz.size == 0:
+        return out
+    bounds = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(sizes, out=bounds[1:])
+    shifts = np.arange(64, dtype=U64)
+    SH_BUDGET = 1 << 17
+    i = 0
+    while i < nz.size:
+        j = i + 1
+        start = bounds[nz[i]]
+        while j < nz.size and bounds[nz[j] + 1] - start <= SH_BUDGET:
+            j += 1
+        docs = nz[i:j]
+        lo, hi = bounds[docs[0]], bounds[docs[-1] + 1]
+        seg = concat[lo:hi]
+        starts = bounds[docs] - lo
+        bits = ((seg[:, None] >> shifts[None, :]) & U64(1)).astype(np.int32)
+        ones = np.add.reduceat(bits, starts, axis=0)       # (docs, 64)
+        maj = (ones * 2) > sizes[docs][:, None]
+        packed = (maj.astype(np.uint64) << shifts[None, :]).sum(
+            axis=1, dtype=np.uint64)
+        out[docs] = packed.view(np.int64)
+        i = j
+    return out
+
+
 # --- SimHash -------------------------------------------------------------
 
 

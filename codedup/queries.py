@@ -1246,43 +1246,64 @@ def _winnowing_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
         _cache_put(cache_key, out)
         return out
     docs = _t(spark, sf_dir, "documents")
-    # MAP-ONLY form: the winnowing window never crosses documents, so
-    # the sliding minima are computed INSIDE each row with higher-order
-    # array functions — no posexplode, no per-doc window sort, no
-    # shuffle until the consumer aggregations.  (The earlier
-    # posexplode + Window.rowsBetween form shuffled one row per
-    # positional gram — ~10M rows at sf0.1, and at 100 TB the sort
-    # alone would dominate; this plan is pure WholeStageCodegen over
-    # the scan.)  Semantics identical: complete windows only, a doc
-    # shorter than W grams keeps its single all-grams window; the
-    # DuckDB oracle keeps the explicit window form, which pins the
-    # equivalence cross-engine.
-    hvs = (f"transform(sequence(1, greatest(length(text)-{NGRAM_K - 1}, 1)),"
-           f" i -> CAST(conv(substring(md5(substring(text, i, {NGRAM_K})), 1, 15),"
-           f" 16, 10) AS BIGINT))")
-    # bind the gram-hash array ONCE via a lambda (SQL has no let;
-    # projection collapse would otherwise inline + recompute the md5
-    # transform for each of its three uses)
-    # window minimum as least() over direct element indexing: the
-    # earlier array_min(slice(a, p, W)) allocated a fresh W-element
-    # array per window inside the interpreted lambda — the allocation
-    # churn, not the md5, was the stage's cost (doc_minhash_fingerprint
-    # runs the same 14M md5s in <1s).  least() of W direct lookups is
-    # the same value with zero allocation.
-    win_min = "least(" + ", ".join(
-        f"a[p + {j - 1}]" for j in range(WINNOW_W)) + ")"
-    fps = (f"element_at(transform(array({hvs}), a -> "
-           f"CASE WHEN size(a) <= {WINNOW_W} THEN array(array_min(a)) "
-           f"ELSE array_distinct(transform(sequence(1, size(a) - {WINNOW_W} + 1),"
-           f" p -> {win_min})) END), 1)")
-    # the documents table is ONE parquet file with one row group -> one
-    # scan task, and the per-positional-gram md5 expression above is
-    # interpreted (higher-order lambdas don't codegen), so without this
-    # spread the whole winnowing pass runs on a single core (guide §2.5
-    # input skew: repartition immediately after the read; the exchange
-    # moves ~300 B/doc, the compute it unlocks is ~100x that)
-    out = (docs.repartition(spark.sparkContext.defaultParallelism)
-           .select("doc_id", F.explode(F.expr(fps)).alias("fp")).distinct())
+
+    # One-pass Arrow kernel (guide §4.2; same rationale as the dsir
+    # bucket kernel): the earlier in-row HOF form evaluated an
+    # interpreted md5+window-min lambda per positional gram — lambdas
+    # don't codegen, and the md5 repeated per OCCURRENCE although the
+    # distinct gram vocabulary is tiny (~14k at sf1.0 vs 14M
+    # occurrences).  The kernel memoizes the portable md5-60bit hash
+    # per distinct gram per task and slides the window minimum with
+    # numpy; per-doc np.unique replaces both array_distinct and the
+    # global .distinct() (doc rows are disjoint), so the distinct
+    # exchange disappears too.  Values are bit-identical to the SQL
+    # form the DuckDB oracle runs: complete windows only, a doc
+    # shorter than W grams keeps its single all-grams window, NULL
+    # text yields no rows.
+    k_, w_ = NGRAM_K, WINNOW_W
+
+    def batches(it):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        memo: dict[str, int] = {}
+
+        def hv(g: str) -> int:
+            x = memo.get(g)
+            if x is None:
+                x = int(hashlib.md5(
+                    g.encode("utf-8", "surrogatepass")).hexdigest()[:15], 16)
+                if len(memo) > (1 << 20):
+                    memo.clear()
+                memo[g] = x
+            return x
+
+        for pdf in it:
+            ids_out, fp_out = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if not isinstance(text, str):
+                    continue
+                m = max(len(text) - k_ + 1, 1)
+                a = np.fromiter((hv(text[i:i + k_]) for i in range(m)),
+                                dtype=np.int64, count=m)
+                if m <= w_:
+                    fps_doc = np.array([a.min()], dtype=np.int64)
+                else:
+                    mins = a[: m - w_ + 1].copy()
+                    for s in range(1, w_):
+                        np.minimum(mins, a[s: s + m - w_ + 1], out=mins)
+                    fps_doc = np.unique(mins)
+                ids_out.append(np.full(fps_doc.size, doc_id, dtype=np.int64))
+                fp_out.append(fps_doc)
+            if ids_out:
+                yield pd.DataFrame({"doc_id": np.concatenate(ids_out),
+                                    "fp": np.concatenate(fp_out)})
+
+    out = (docs.select("doc_id", "text")
+           .repartition(spark.sparkContext.defaultParallelism)
+           .mapInPandas(batches, schema="doc_id long, fp long"))
     if spill is not None:
         out = _publish_spill(spark, out.localCheckpoint(eager=True), spill)
     else:

@@ -51,17 +51,79 @@ def _small_star(e: DataFrame) -> DataFrame:
     return moved.unionByName(selfe)
 
 
-def connected_components(edges: DataFrame, cfg: DedupConfig) -> DataFrame:
+def _components_local(e: DataFrame) -> DataFrame:
+    """Single-task union-find over a small edge set (same membership
+    contract: cluster_id = min(file_id) of the component).  The
+    size-gated fast path of connected_components: at catalog scale the
+    star iteration is ~30 tiny Spark jobs of pure scheduling overhead
+    for a graph that fits one task with room to spare — the same
+    graded-response pattern as the hot-bucket 'auto' mode.  Equivalence
+    to the star path is pinned in tests/test_cluster_cc.py."""
+    import pandas as pd
+
+    def uf(it):
+        import numpy as np
+
+        us, vs = [], []
+        for pdf in it:
+            us.append(pdf["u"].to_numpy())
+            vs.append(pdf["v"].to_numpy())
+        u = np.concatenate(us) if us else np.empty(0, dtype=np.int64)
+        v = np.concatenate(vs) if vs else np.empty(0, dtype=np.int64)
+        if u.size == 0:
+            yield pd.DataFrame({"file_id": pd.array([], dtype="int64"),
+                                "cluster_id": pd.array([], dtype="int64")})
+            return
+        nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+        parent = np.arange(nodes.size, dtype=np.int64)
+
+        def find(x: int) -> int:
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:       # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for a, b in zip(inv[: u.size], inv[u.size:]):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union toward the smaller node id keeps roots = the
+                # minimum member, since `nodes` is sorted ascending
+                if ra < rb:
+                    parent[rb] = ra
+                else:
+                    parent[ra] = rb
+        roots = np.fromiter((find(i) for i in range(nodes.size)),
+                            dtype=np.int64, count=nodes.size)
+        yield pd.DataFrame({"file_id": nodes, "cluster_id": nodes[roots]})
+
+    return e.coalesce(1).mapInPandas(uf, schema="file_id long, cluster_id long")
+
+
+def connected_components(edges: DataFrame, cfg: DedupConfig,
+                         local_max_edges: int | None = None) -> DataFrame:
     """edges(u,v) undirected -> membership(file_id, cluster_id).
 
     Every node that appears in an edge is assigned cluster_id =
     min(file_id) of its component.  Singletons (no edges) are absent —
-    they are not duplicates of anything."""
+    they are not duplicates of anything.
+
+    ``local_max_edges`` (default cfg.cc_local_max_edges): edge sets at
+    or below this size run as a single-task union-find instead of the
+    O(log n) star rounds — identical membership, ~10x less scheduling
+    overhead for small graphs.  Pass 0 to force the distributed path."""
     e = (
         edges.filter(F.col("u") != F.col("v"))
         .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
         .distinct()
     )
+    cap = (cfg.cc_local_max_edges if local_max_edges is None
+           else local_max_edges)
+    if cap:
+        e = e.localCheckpoint(eager=True)
+        if e.count() <= cap:
+            return _components_local(e)
     prev = None
     for _ in range(cfg.cc_max_iters):
         e = _small_star(_large_star(e).distinct()).distinct()

@@ -42,32 +42,48 @@ def compute_signatures(reps: DataFrame, cfg: DedupConfig) -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # imports inside: runs on executors' Python workers
+        import numpy as np
+
         from codedup import kernels as K
 
         for pdf in it:
             fids = pdf["file_id"].to_numpy()
-            out_n, out_mh, out_sh = [], [], []
-            for text in pdf["content"]:
+            m = len(pdf)
+            # per-row shingling keeps the per-row fault contract (a bad
+            # row becomes the n_shingles = -1 sentinel, never a task
+            # failure); the hash arithmetic below is batched across the
+            # whole Arrow batch — row-identical to the per-doc kernels
+            # (tests pin batch == per-doc), ~3x less per-doc overhead
+            arrays: list[np.ndarray] = []
+            n_arr = np.empty(m, dtype=np.int64)
+            for i, text in enumerate(pdf["content"]):
                 try:
                     if fault_marker and fault_marker in text:
                         raise RuntimeError("injected fault")
                     sh = K.shingle_hashes(text, k, normalize_ws=norm, mode=mode)
-                    out_n.append(sh.size)
-                    out_mh.append(K.minhash_signature(sh, num_perm, seed).tolist())
-                    out_sh.append(K.simhash64(sh))
+                    arrays.append(sh)
+                    n_arr[i] = sh.size
                 except Exception:
                     # never fail the task for one bad row: emit the
                     # FAULT sentinel (n_shingles = -1); the pipeline
                     # excludes it downstream and it stays visible in the
                     # signatures checkpoint (errors are never silent)
-                    out_n.append(-1)
-                    out_mh.append([])
-                    out_sh.append(0)
+                    arrays.append(np.empty(0, dtype=np.uint64))
+                    n_arr[i] = -1
+            sizes = np.maximum(n_arr, 0)
+            concat = (np.concatenate(arrays) if arrays
+                      else np.empty(0, dtype=np.uint64))
+            mh = K.minhash_signatures_batch(concat, sizes, num_perm, seed)
+            sh64 = K.simhash64_batch(concat, sizes)
+            out_mh = mh.tolist()
+            for i in np.nonzero(n_arr < 0)[0]:
+                out_mh[i] = []          # fault sentinel: empty signature
+                sh64[i] = 0
             yield pd.DataFrame({
                 "file_id": fids,
-                "n_shingles": pd.array(out_n, dtype="int32"),
+                "n_shingles": pd.array(n_arr, dtype="int32"),
                 "minhash": out_mh,
-                "simhash": pd.array(out_sh, dtype="int64"),
+                "simhash": pd.array(sh64, dtype="int64"),
             })
 
     return reps.select("file_id", "content").mapInPandas(batches, schema=SIG_SCHEMA)

@@ -82,3 +82,22 @@ def test_partitioning_invariance(spark):
 def test_negative_ids(spark):
     """file_id = xxhash64 is signed; CC must work below zero."""
     _check(spark, [(-5, 2), (2, -9), (7, 8)])
+
+
+def test_local_fast_path_equals_star_rounds(spark):
+    """The size-gated single-task union-find (r6 fast path) must
+    produce exactly the distributed large-star/small-star membership;
+    local_max_edges=0 forces the star rounds for the comparison."""
+    rng = np.random.default_rng(11)
+    nodes = rng.integers(-300, 300, size=(400, 2)).tolist()
+    edges = [(int(u), int(v)) for u, v in nodes if u != v]
+    df = spark.createDataFrame(edges, "u long, v long")
+    fast = connected_components(df, DedupConfig()) \
+        .toPandas().sort_values("file_id", ignore_index=True)
+    star = connected_components(df, DedupConfig(), local_max_edges=0) \
+        .toPandas().sort_values("file_id", ignore_index=True)
+    assert fast.equals(star)
+    # and both match the reference union-find
+    exp = _uf_components(edges)
+    got = {r.file_id: r.cluster_id for r in fast.itertuples()}
+    assert got == exp

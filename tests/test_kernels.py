@@ -174,3 +174,29 @@ def test_token_jaccard_matches_string_gram_jaccard():
     inter, union = K.jaccard_counts(sa, sb)
     ga, gb = string_grams(a), string_grams(b)
     assert (inter, union) == (len(ga & gb), len(ga | gb))
+
+
+def test_batch_signature_kernels_match_per_doc():
+    """minhash_signatures_batch / simhash64_batch must be row-identical
+    to the per-document kernels they replace in the signature stage —
+    including empty documents (EMPTY_MIN row / simhash 0), singleton
+    groups bigger than the internal tile budget, and mixed sizes."""
+    rng = np.random.default_rng(7)
+    docs = [
+        rng.integers(0, 1 << 63, size=s, dtype=np.uint64)
+        for s in (0, 1, 3, 285, 0, 1000, 17, 0)
+    ]
+    concat = np.concatenate([d for d in docs]) if docs else np.empty(0, np.uint64)
+    sizes = np.array([d.size for d in docs], dtype=np.int64)
+    mh = K.minhash_signatures_batch(concat, sizes, 128, 42)
+    sh = K.simhash64_batch(concat, sizes)
+    for i, d in enumerate(docs):
+        assert np.array_equal(mh[i], K.minhash_signature(d, 128, 42)), i
+        assert sh[i] == K.simhash64(d), i
+    # all-empty batch
+    z = np.zeros(3, dtype=np.int64)
+    assert np.array_equal(
+        K.minhash_signatures_batch(np.empty(0, np.uint64), z, 16, 1),
+        np.stack([K.minhash_signature(np.empty(0, np.uint64), 16, 1)] * 3))
+    assert np.array_equal(
+        K.simhash64_batch(np.empty(0, np.uint64), z), np.zeros(3, np.int64))
