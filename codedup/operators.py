@@ -113,20 +113,28 @@ def blocked_jaccard_join(sh: DataFrame, threshold: float, n_blocks: int = 16,
     baseline, distributed."""
     import pandas as pd
 
-    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+    def pack_part(it):
         import numpy as np
 
-        pdf = pdf.sort_values(["doc_id", "g"])
-        docs = pdf["doc_id"].to_numpy()
-        uniq, start = np.unique(docs, return_index=True)
-        offsets = np.append(start, docs.size).astype(np.int64)
-        return _pack_row(int(pdf["_blk"].iloc[0]), uniq, offsets,
-                         pdf["g"].to_numpy().astype(np.int64))
+        # one exchange, not two: repartition(n_blocks, _blk) already
+        # co-locates every row of a block in one partition, so the
+        # partition-level groupby here replaces groupBy.applyInPandas
+        # (which would add a second hash exchange of the same rows)
+        parts = [pdf for pdf in it]
+        if not parts:
+            return
+        for blk, pdf in pd.concat(parts).groupby("_blk", sort=False):
+            pdf = pdf.sort_values(["doc_id", "g"])
+            docs = pdf["doc_id"].to_numpy()
+            uniq, start = np.unique(docs, return_index=True)
+            offsets = np.append(start, docs.size).astype(np.int64)
+            yield _pack_row(int(blk), uniq, offsets,
+                            pdf["g"].to_numpy().astype(np.int64))
 
     blocks = (
         sh.withColumn("_blk", F.pmod(F.col("doc_id"), F.lit(n_blocks)))
-        .groupBy("_blk")
-        .applyInPandas(pack, schema=_PACK_SCHEMA())
+        .repartition(n_blocks, "_blk")
+        .mapInPandas(pack_part, schema=_PACK_SCHEMA())
     )
     return _sweep_block_pairs(blocks, threshold, n_blocks, metric)
 
@@ -143,31 +151,35 @@ def blocked_jaccard_join_text(docs: DataFrame, id_col: str, text_col: str,
     substr('', i, k) = '' singleton set."""
     import pandas as pd
 
-    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+    def pack_part(it):
         import numpy as np
 
         from codedup import kernels as K
 
-        pdf = pdf.sort_values(id_col)
-        offsets = [0]
-        grams = []
-        for text in pdf[text_col]:
-            h = np.unique(K.shingle_hashes(text, k, normalize_ws=False))
-            if h.size == 0:
-                h = np.zeros(1, dtype=np.uint64)  # '' gram sentinel
-            grams.append(h.view(np.int64))
-            offsets.append(offsets[-1] + h.size)
-        return _pack_row(int(pdf["_blk"].iloc[0]),
-                         pdf[id_col].to_numpy(),
-                         np.asarray(offsets, dtype=np.int64),
-                         np.concatenate(grams))
+        # one exchange, not two (see blocked_jaccard_join.pack_part)
+        parts = [pdf for pdf in it]
+        if not parts:
+            return
+        for blk, pdf in pd.concat(parts).groupby("_blk", sort=False):
+            pdf = pdf.sort_values(id_col)
+            offsets = [0]
+            grams = []
+            for text in pdf[text_col]:
+                h = np.unique(K.shingle_hashes(text, k, normalize_ws=False))
+                if h.size == 0:
+                    h = np.zeros(1, dtype=np.uint64)  # '' gram sentinel
+                grams.append(h.view(np.int64))
+                offsets.append(offsets[-1] + h.size)
+            yield _pack_row(int(blk),
+                            pdf[id_col].to_numpy(),
+                            np.asarray(offsets, dtype=np.int64),
+                            np.concatenate(grams))
 
     blocks = (
         docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias(text_col))
         .withColumn("_blk", F.pmod(F.col("doc_id"), F.lit(n_blocks)))
         .repartition(n_blocks, "_blk")
-        .groupBy("_blk")
-        .applyInPandas(pack, schema=_PACK_SCHEMA())
+        .mapInPandas(pack_part, schema=_PACK_SCHEMA())
     )
     return _sweep_block_pairs(blocks, threshold, n_blocks, metric)
 
@@ -179,9 +191,12 @@ def _pack_row(blk: int, doc_ids, offsets, grams):
 
       vocab   — sorted distinct grams of the block (int64)
       inv     — posting -> block-vocab id, doc-major (int32)
-      bygram  — doc index per posting, gram-major (int32): the
-                inverted index, i.e. postings grouped by gram
-      gcnt    — postings per block-vocab gram (int32)
+
+    The gram-major inverted index (bygram) and per-gram counts (gcnt)
+    are NOT shipped: both are derivable from inv in ~10 ms per pair
+    (one bincount + one stable argsort), while shipping them doubled
+    the sweep's shuffle volume — each block row rides the exchange to
+    NB+1 pair tasks (guide §2.3, shuffle fewer bytes).
     """
     import numpy as np
     import pandas as pd
@@ -192,11 +207,6 @@ def _pack_row(blk: int, doc_ids, offsets, grams):
     # sweep re-derives the dtype from vocab/doc counts, so no flag
     # column is needed
     idt = np.int16 if vocab.size < (1 << 15) else np.int32
-    ddt = np.int16 if doc_ids.size < (1 << 15) else np.int32
-    sizes = np.diff(offsets)
-    row_doc = np.repeat(np.arange(doc_ids.size, dtype=ddt), sizes)
-    bygram = row_doc[np.argsort(inv, kind="stable")]
-    gcnt = np.bincount(inv, minlength=vocab.size).astype(np.int32)
     inv = inv.astype(idt)
     return pd.DataFrame({
         "blk": [blk],
@@ -204,8 +214,6 @@ def _pack_row(blk: int, doc_ids, offsets, grams):
         "offsets": [np.asarray(offsets, dtype=np.int64).tobytes()],
         "vocab": [vocab.tobytes()],
         "inv": [inv.tobytes()],
-        "bygram": [bygram.tobytes()],
-        "gcnt": [gcnt.tobytes()],
     })
 
 
@@ -218,8 +226,6 @@ def _PACK_SCHEMA():
         T.StructField("offsets", T.BinaryType()),
         T.StructField("vocab", T.BinaryType()),
         T.StructField("inv", T.BinaryType()),
-        T.StructField("bygram", T.BinaryType()),
-        T.StructField("gcnt", T.BinaryType()),
     ])
 
 
@@ -246,8 +252,8 @@ def _sweep_block_pairs(blocks: DataFrame, threshold: float, n_blocks: int,
     # both crossJoin sides read this; without an eager checkpoint the
     # lazy plan re-runs the shingle/pack UDF once per side
     blocks = blocks.localCheckpoint(eager=True)
-    x = blocks.toDF("xblk", "xdocs", "xoff", "xv", "xinv", "xbg", "xgc")
-    y = blocks.toDF("yblk", "ydocs", "yoff", "yv", "yinv", "ybg", "ygc")
+    x = blocks.toDF("xblk", "xdocs", "xoff", "xv", "xinv")
+    y = blocks.toDF("yblk", "ydocs", "yoff", "yv", "yinv")
     # one block pair per task: the sweep is CPU-dense and pairs are few,
     # so per-pair tasks give the scheduler the finest stealing grain
     # (4-5 pairs lumped per task left a 20-30% straggler tail; a
@@ -285,21 +291,24 @@ def _sweep_block_pairs(blocks: DataFrame, threshold: float, n_blocks: int,
                 ivx = np.frombuffer(
                     row.xinv,
                     dtype=np.int16 if vx.size < (1 << 15) else np.int32)
-                gcx = np.frombuffer(row.xgc, dtype=np.int32)
                 ydocs = np.frombuffer(row.ydocs, dtype=np.int64)
                 yoff = np.frombuffer(row.yoff, dtype=np.int64)
                 vy = np.frombuffer(row.yv, dtype=np.int64)
                 ivy = np.frombuffer(
                     row.yinv,
                     dtype=np.int16 if vy.size < (1 << 15) else np.int32)
-                bygy = np.frombuffer(
-                    row.ybg,
-                    dtype=np.int16 if ydocs.size < (1 << 15) else np.int32)
-                gcy = np.frombuffer(row.ygc, dtype=np.int32)
                 same = row.xblk == row.yblk
                 n_x, n_y = xdocs.size, ydocs.size
                 x_sizes = np.diff(xoff)
                 y_sizes = np.diff(yoff)
+                # derived once per pair rather than shipped (see
+                # _pack_row): per-gram counts on both sides, and the
+                # y-side gram-major inverted index
+                gcx = np.bincount(ivx, minlength=vx.size).astype(np.int32)
+                gcy = np.bincount(ivy, minlength=vy.size).astype(np.int32)
+                ddt = np.int16 if n_y < (1 << 15) else np.int32
+                y_row = np.repeat(np.arange(n_y, dtype=ddt), y_sizes)
+                bygy = y_row[np.argsort(ivy, kind="stable")]
 
                 # Intersection counts, HYBRID by per-gram cost (guide
                 # §1.2 — fix the algorithm; §2.5 — skew needs a split,
@@ -358,61 +367,100 @@ def _sweep_block_pairs(blocks: DataFrame, threshold: float, n_blocks: int,
                     colmap_xb = np.where(hot_xb, hotcol[mapx], 0)
                     x_row_doc = np.repeat(
                         np.arange(n_x, dtype=np.int32), x_sizes)
+                    # reused across chunks: the ONLY chunk-sized buffers.
+                    # The old int64 count matrix + chunk-level ppm/denom
+                    # temporaries streamed ~1 GB of freshly mmapped pages
+                    # per block pair; under 32 concurrent tasks that page-
+                    # fault + DRAM traffic tripled per-pair wall (measured
+                    # 1.4 s idle -> 3.2 s mean contended).  Everything
+                    # below chunk level is a 25 KB per-doc row in cache.
+                    xmat = np.zeros((min(X_CHUNK, n_x), H), dtype=dt)
+                    gout = np.empty((min(X_CHUNK, n_x), n_y), dtype=dt)
 
+                # exact integer threshold algebra, per doc row (floor-div
+                # >= T  <=>  c*1e6 >= T*denom for denom >= 1):
+                #   jaccard:      c*1e6 >= T*(na+nb-c)
+                #             <=> c*(1e6+T) >= T*(na+nb)
+                #   containment:  c*1e6 >= T*min(na, nb)
+                mp_nb = min_ppm * y_sizes            # int64, once per pair
+                if metric == "containment":
+                    lhs_mul = 1_000_000
+                else:
+                    lhs_mul = 1_000_000 + min_ppm
+                out_a = []
+                out_b = []
+                out_c = []
+                out_na = []
+                out_nb = []
                 for lo in range(0, n_x, X_CHUNK):
                     hi = min(lo + X_CHUNK, n_x)
-                    cnt = np.zeros((hi - lo, n_y), dtype=np.int64)
 
                     # --- hot half: gemm over the hot columns only ---
                     if H:
                         rlo, rhi = int(xoff[lo]), int(xoff[hi])
                         ivx_sl = ivx[rlo:rhi]
                         hm_x = hot_xb[ivx_sl]
-                        xmat = np.zeros((hi - lo, H), dtype=dt)
+                        xmat[:hi - lo].fill(0)
                         xmat[(x_row_doc[rlo:rhi] - lo)[hm_x],
                              colmap_xb[ivx_sl[hm_x]]] = 1.0
-                        cnt += np.rint(xmat @ ymat.T).astype(np.int64)
+                        np.matmul(xmat[:hi - lo], ymat.T, out=gout[:hi - lo])
 
-                    # --- cold half: per-doc inverted-index gather ---
+                    # --- cold half + threshold, one cache-resident row
+                    # per x doc ---
                     for d in range(lo, hi):
                         gs = ivx[xoff[d]:xoff[d + 1]]
                         reps = reps_xb[gs]
                         m = reps > 0
-                        if not m.any():
+                        if m.any():
+                            reps = reps[m]
+                            tot = int(reps.sum(dtype=np.int64))
+                            # fused single-repeat index build: delta[i] =
+                            # (y-slice start of gram i) - (running start of
+                            # its segment in idx), so idx = arange + repeat
+                            delta = ystart_xb[gs[m]].copy()
+                            delta[1:] -= np.cumsum(reps[:-1], dtype=np.int32)
+                            idx = (np.arange(tot, dtype=np.int32)
+                                   + np.repeat(delta, reps))
+                            crow = np.bincount(bygy[idx], minlength=n_y)
+                            if H:
+                                # float 0/1 sums are exact below 2^24 cols
+                                crow += gout[d - lo].astype(np.int64)
+                        elif H:
+                            crow = gout[d - lo].astype(np.int64)
+                        else:
                             continue
-                        reps = reps[m]
-                        tot = int(reps.sum(dtype=np.int64))
-                        # fused single-repeat index build: delta[i] =
-                        # (y-slice start of gram i) - (running start of
-                        # its segment in idx), so idx = arange + repeat
-                        delta = ystart_xb[gs[m]].copy()
-                        delta[1:] -= np.cumsum(reps[:-1], dtype=np.int32)
-                        idx = (np.arange(tot, dtype=np.int32)
-                               + np.repeat(delta, reps))
-                        cnt[d - lo] += np.bincount(bygy[idx], minlength=n_y)
-                    na = x_sizes[lo:hi][:, None]
-                    if metric == "containment":
-                        denom = np.minimum(np.broadcast_to(na, cnt.shape),
-                                           np.broadcast_to(y_sizes[None, :], cnt.shape))
-                    else:
-                        denom = y_sizes[None, :] + na - cnt
-                    ppm = (cnt * 1_000_000) // np.maximum(denom, 1)
-                    keep = ppm >= min_ppm
-                    if same:
-                        keep &= ydocs[None, :] > xdocs[lo:hi, None]
-                    ai, bi = np.nonzero(keep)
-                    if ai.size == 0:
-                        continue
-                    xa, yb = xdocs[lo + ai], ydocs[bi]
-                    # (na, nb) follow the (a, b) id order, not block order
-                    flip = xa > yb
-                    na_v, nb_v = x_sizes[lo + ai], y_sizes[bi]
+                        na_d = int(x_sizes[d])
+                        if metric == "containment":
+                            rhs = np.minimum(mp_nb, min_ppm * na_d)
+                        else:
+                            rhs = mp_nb + min_ppm * na_d
+                        keep = crow * lhs_mul >= rhs
+                        if same:
+                            # docs are id-sorted: self + lower ids form a
+                            # prefix of the y row
+                            cut = int(np.searchsorted(ydocs, xdocs[d],
+                                                      side="right"))
+                            keep[:cut] = False
+                        bi = np.nonzero(keep)[0]
+                        if bi.size == 0:
+                            continue
+                        xa = int(xdocs[d])
+                        yb = ydocs[bi]
+                        # (na, nb) follow the (a, b) id order, not block order
+                        flip = xa > yb
+                        nb_v = y_sizes[bi]
+                        out_a.append(np.minimum(xa, yb))
+                        out_b.append(np.maximum(xa, yb))
+                        out_c.append(crow[bi])
+                        out_na.append(np.where(flip, nb_v, na_d))
+                        out_nb.append(np.where(flip, na_d, nb_v))
+                if out_a:
                     yield pd.DataFrame({
-                        "a": np.minimum(xa, yb),
-                        "b": np.maximum(xa, yb),
-                        "c": cnt[ai, bi],
-                        "na": np.where(flip, nb_v, na_v),
-                        "nb": np.where(flip, na_v, nb_v),
+                        "a": np.concatenate(out_a),
+                        "b": np.concatenate(out_b),
+                        "c": np.concatenate(out_c),
+                        "na": np.concatenate(out_na),
+                        "nb": np.concatenate(out_nb),
                     }).astype("int64")
                 if dbg:
                     print(f"SWEEP pair ({row.xblk},{row.yblk}) "

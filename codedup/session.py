@@ -74,6 +74,17 @@ def build_session(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.warehouse.dir", os.path.join(tempfile.gettempdir(), "codedup_warehouse"))
         .config("spark.driver.memory", _driver_memory(master))
+        # cap vector ISA at AVX2: OpenJDK 17's AVX-512 arraycopy stubs
+        # (jlong_disjoint_arraycopy_avx3) segfault intermittently on
+        # this VM's virtualized CPU when copying multi-MB primitive
+        # arrays (reproduced twice under the blocked-sweep shuffle,
+        # SEGV_MAPERR inside the stub).  AVX2 copies are within noise
+        # for this workload; a deployment on trusted hardware can
+        # override via CODEDUP_JVM_OPTS.
+        .config("spark.driver.extraJavaOptions",
+                os.environ.get("CODEDUP_JVM_OPTS", "-XX:UseAVX=2"))
+        .config("spark.executor.extraJavaOptions",
+                os.environ.get("CODEDUP_JVM_OPTS", "-XX:UseAVX=2"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
     )
