@@ -1486,14 +1486,6 @@ def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str,
     the oracle (identical literal hyperplanes)."""
     emb = _t(spark, sf_dir, "embeddings")
     bcol = F.expr(_bucket_expr("embedding", base=0, n_planes=params.n_planes)).cast("long")
-    # Unrolled codegen dot product: the higher-order aggregate(zip_with)
-    # form is interpreted per element per PAIR (no codegen for lambda
-    # functions), which made the candidate-scoring projection the query's
-    # cost center.  The unrolled chain folds left-to-right exactly like
-    # the aggregate (0D + p0 == p0 for doubles), so sim6 is bit-identical.
-    # each product is a FLOAT multiply cast to double, then the chain
-    # accumulates in double — exactly the fold's cast(v AS DOUBLE) step
-    dot = " + ".join(f"CAST((qa[{i}] * eb[{i}]) AS DOUBLE)" for i in range(ANN_DIM))
     norm = "sqrt(aggregate(transform({0}, x -> x * x), 0D, (acc, v) -> acc + v))"
     # norms are per ROW, not per pair: compute them once on each side
     # before the join instead of re-deriving them for every candidate
@@ -1521,16 +1513,56 @@ def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str,
     # all 1 + p + C(p,2) exploded values are pairwise distinct, so each
     # (query, neighbor) pair still matches through at most one value
     probe_buckets = F.array(F.col("qb"), *flips)
-    # the documents/embeddings tables arrive as ONE parquet file (one
-    # row group -> one scan task); without this spread the entire
-    # candidate scoring projection runs on a single core (guide §2.5,
-    # input skew: repartition immediately after the read)
-    probes_x = (probes.withColumn("pb", F.explode(probe_buckets)).drop("qb")
-                .repartition(spark.sparkContext.defaultParallelism))
+    probes_x = probes.withColumn("pb", F.explode(probe_buckets)).drop("qb")
+
+    # Bucket-cogrouped Arrow scoring (guide §4.2): the unrolled 64-term
+    # SQL dot chain evaluated per PAIR materialized every candidate row
+    # with both 64-float arrays (~460 MB of row copies + ~85 ns/term
+    # expression eval = ~3.5 s at sf1.0 for 900k candidates).  The
+    # cogroup ships each bucket's probes and members through Arrow ONCE
+    # (~6 MB total) and computes the dot in numpy with the EXACT fold
+    # semantics of the old chain — each product is a float32 multiply,
+    # cast to double, accumulated strictly left-to-right in dimension
+    # order — so the raw dot is bit-identical; the division by the
+    # relational norms and round(..., 6) stay in Spark SQL unchanged.
+    # Bucket equality is still the join key (this is the same LSH
+    # pruning the hash-join form had, as the plan test asserts).
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    def score(key, probes_pdf: pd.DataFrame, cands_pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        if len(probes_pdf) == 0 or len(cands_pdf) == 0:
+            return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                                 "neighbor_id": pd.Series([], dtype="int64"),
+                                 "dot": pd.Series([], dtype="float64")})
+        qids = probes_pdf["query_id"].to_numpy()
+        nids = cands_pdf["neighbor_id"].to_numpy()
+        qmat = np.stack(probes_pdf["qa"].to_numpy()).astype(np.float32, copy=False)
+        cmat = np.stack(cands_pdf["eb"].to_numpy()).astype(np.float32, copy=False)
+        prod = qmat[:, None, :] * cmat[None, :, :]        # float32 products
+        acc = prod[:, :, 0].astype(np.float64)
+        for i in range(1, prod.shape[2]):                 # left-to-right fold
+            acc += prod[:, :, i]
+        qi, ni = np.nonzero(qids[:, None] != nids[None, :])
+        return pd.DataFrame({"query_id": qids[qi], "neighbor_id": nids[ni],
+                             "dot": acc[qi, ni]})
+
+    dot_schema = T.StructType([
+        T.StructField("query_id", T.LongType()),
+        T.StructField("neighbor_id", T.LongType()),
+        T.StructField("dot", T.DoubleType()),
+    ])
+    dots = (
+        probes_x.select("query_id", "qa", "pb").groupBy("pb")
+        .cogroup(all_b.select("neighbor_id", "eb", "nb").groupBy("nb"))
+        .applyInPandas(score, schema=dot_schema)
+    )
     cand = (
-        probes_x.join(all_b, probes_x["pb"] == all_b["nb"])
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("sim6", F.round(F.expr(dot) / (F.col("qn") * F.col("en")), 6))
+        dots.join(F.broadcast(probes.select("query_id", "qn")), "query_id")
+        .join(F.broadcast(all_b.select("neighbor_id", "en")), "neighbor_id")
+        .withColumn("sim6", F.round(F.col("dot") / (F.col("qn") * F.col("en")), 6))
         .select("query_id", "neighbor_id", "sim6")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim6"), F.asc("neighbor_id"))

@@ -54,18 +54,24 @@ def test_arrow_stages_are_mapinpandas(spark, tiny, cfg):
     assert "BatchEvalPython" not in plan  # no row-at-a-time python anywhere
 
 
-def test_ann_lsh_bucketed_plans_hash_join(spark):
-    """The multi-probe LSH ANN query must plan as an EQUI hash join on
-    the bucket column — a bit_count(xor)<=1 theta-join would force a
+def test_ann_lsh_bucketed_plans_bucket_equi_join(spark):
+    """The multi-probe LSH ANN query must prune candidates by bucket
+    EQUALITY — a bit_count(xor)<=1 theta-join would force a
     BroadcastNestedLoopJoin that evaluates every probe against every
-    row, which is no LSH at all (VERDICT r1 finding #1)."""
+    row, which is no LSH at all (VERDICT r1 finding #1).  The scoring
+    runs as a bucket-cogrouped Arrow kernel (r6: the per-pair SQL dot
+    chain materialized every candidate with both embedding arrays);
+    the cogroup keys ARE the bucket columns, so the equi-pruning
+    contract is unchanged — asserted via the cogroup node plus the
+    absence of any nested-loop join."""
     from codedup.queries import q_ann_lsh_bucketed
 
     df = q_ann_lsh_bucketed(spark, "/root/testdata/sf0.001")
     plan = _plan(df)
     assert "BroadcastNestedLoopJoin" not in plan, plan
-    assert any(j in plan for j in
-               ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")), plan
+    assert "CartesianProduct" not in plan, plan
+    assert "FlatMapCoGroupsInPandas" in plan, plan
+    assert "BatchEvalPython" not in plan, plan  # no row-at-a-time python
 
 
 def test_embedding_queries_have_no_driver_collect(spark):
