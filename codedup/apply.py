@@ -75,11 +75,24 @@ def plan_moves(actions: DataFrame, dest_root: str,
     names, in iteration order.  Deterministic, collision-free, linear
     candidates (never quadratic).
 
-    Scale bound: assignment windows are per family, so one
-    pathologically hot basename (think __init__.py at 10^12 files)
-    serializes its movers into one sort task — fine to ~10^7 movers per
-    name; beyond that, salt the window and offset each salt group by
-    the exclusive prefix sum of group counts."""
+    Scale bound: assignment is per family, so one pathologically hot
+    basename (think __init__.py at 10^12 files) serializes its movers
+    into one task — fine to ~10^7 movers per name; beyond that, salt
+    the group and offset each salt group by the exclusive prefix sum
+    of group counts.
+
+    Execution shape (r6): every step of the discipline — claims,
+    blocked set, candidate sequence, slot matching — is local to one
+    (family, suffix) group (a src_name or candidate name determines its
+    own family), so the whole assignment runs as ONE cogrouped Arrow
+    kernel instead of the former ~10-exchange window/anti-join
+    relational cascade whose per-stage overhead dominated at every sf
+    (the relational form and this kernel are pinned equal by the
+    randomized property test and the DuckDB oracle, which still
+    implements the relational form)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
     spark = actions.sparkSession
     movers = (
         actions.filter(F.col("action").isin(*MOVE_ACTIONS))
@@ -92,61 +105,58 @@ def plan_moves(actions: DataFrame, dest_root: str,
 
     exist = (existing if existing is not None
              else spark.createDataFrame([], "name string"))
-    exist_names = exist.select(F.col("name"))
-    exist_parts = _with_name_parts(exist_names, "name").withColumn(
+    exist_parts = _with_name_parts(exist.select("name"), "name").withColumn(
         "fam", F.regexp_replace("stem", "_[0-9]+$", ""))
-    exist_cnt = exist_parts.groupBy("fam", "suffix").agg(
-        F.count(F.lit(1)).alias("e_cnt"))
 
-    # (1) original-name claims: first mover per distinct src_name, name
-    # not already present at the destination
-    claim_w = Window.partitionBy("src_name").orderBy("cluster_id", "rank", "file_id")
-    with_claim = movers.withColumn("_claim_rn", F.row_number().over(claim_w)) \
-        .join(exist_names.withColumnRenamed("name", "src_name")
-              .withColumn("_taken", F.lit(True)), "src_name", "left")
-    claimants = with_claim.filter((F.col("_claim_rn") == 1) & F.col("_taken").isNull())
-    rest = with_claim.join(claimants.select("file_id"), "file_id", "left_anti")
+    cols = ["file_id", "key", "cluster_id", "rank", "action", "src_name"]
+    out_schema = T.StructType(
+        [movers.schema[c] for c in cols]
+        + [T.StructField("dest_path", T.StringType())])
+    prefix = dest_root.rstrip("/") + "/"
 
-    claimed_names = claimants.select(F.col("src_name").alias("blocked"))
-    blocked = claimed_names.unionByName(
-        exist_names.select(F.col("name").alias("blocked"))).distinct()
+    def assign(key, mv: pd.DataFrame, ex: pd.DataFrame) -> pd.DataFrame:
+        fam, suffix = key
+        if len(mv) == 0:            # existing-only family: nothing moves
+            out = mv.reindex(columns=cols)
+            out["dest_path"] = pd.Series([], dtype=object)
+            return out
+        # iteration order of the discipline: cluster asc, rank asc,
+        # file_id (unique -> total, deterministic)
+        mv = mv.sort_values(["cluster_id", "rank", "file_id"])
+        exist_names = set(ex["name"]) if len(ex) else set()
+        src = mv["src_name"].tolist()
+        n = len(src)
+        dest = [None] * n
+        # (1) original-name claims: first mover per distinct src_name,
+        # name not already present at the destination
+        seen: set = set()
+        for i, s in enumerate(src):
+            if s not in seen:
+                seen.add(s)
+                if s not in exist_names:
+                    dest[i] = s
+        blocked = exist_names | {d for d in dest if d is not None}
+        # (2) family candidate sequence minus blocked names, assigned
+        # to the remaining movers in iteration order
+        nxt = 0
+        for i in range(n):
+            if dest[i] is not None:
+                continue
+            while True:
+                cand = (f"{fam}{suffix}" if nxt == 0
+                        else f"{fam}_{nxt}{suffix}")
+                nxt += 1
+                if cand not in blocked:
+                    break
+            dest[i] = cand
+        out = mv[cols].copy()
+        out["dest_path"] = [prefix + d for d in dest]
+        return out
 
-    # (2) family candidate sequence minus blocked names -> free slots
-    m_cnt = movers.groupBy("fam", "suffix").agg(F.count(F.lit(1)).alias("m_cnt"))
-    bounds = m_cnt.join(exist_cnt, ["fam", "suffix"], "left").fillna(0, ["e_cnt"])
-    cands = (
-        bounds.withColumn(
-            "i", F.explode(F.sequence(F.lit(0), F.col("m_cnt") * 2 + F.col("e_cnt"))))
-        .withColumn(
-            "cand_name",
-            F.when(F.col("i") == 0, F.concat("fam", "suffix"))
-            .otherwise(F.concat("fam", F.lit("_"), F.col("i").cast("string"), "suffix")),
-        )
-    )
-    free = cands.join(blocked.withColumnRenamed("blocked", "cand_name"),
-                      "cand_name", "left_anti")
-    slot_w = Window.partitionBy("fam", "suffix").orderBy("i")
-    free_slots = free.withColumn("slot", F.row_number().over(slot_w) - 1) \
-        .select("fam", "suffix", "slot", "cand_name")
-
-    ord_w = Window.partitionBy("fam", "suffix").orderBy("cluster_id", "rank", "file_id")
-    ordered = rest.withColumn("ordinal", F.row_number().over(ord_w) - 1)
-
-    assigned = (
-        ordered.join(free_slots,
-                     (ordered["fam"] == free_slots["fam"])
-                     & (ordered["suffix"] == free_slots["suffix"])
-                     & (ordered["ordinal"] == free_slots["slot"]))
-        .select("file_id", "key", "cluster_id", "rank", "action", "src_name",
-                F.col("cand_name").alias("dest_name"))
-    )
-    kept = claimants.select("file_id", "key", "cluster_id", "rank", "action",
-                            "src_name", F.col("src_name").alias("dest_name"))
     return (
-        assigned.unionByName(kept)
-        .withColumn("dest_path",
-                    F.concat(F.lit(dest_root.rstrip("/") + "/"), "dest_name"))
-        .drop("dest_name")
+        movers.select(*cols, "fam", "suffix").groupBy("fam", "suffix")
+        .cogroup(exist_parts.select("name", "fam", "suffix").groupBy("fam", "suffix"))
+        .applyInPandas(assign, schema=out_schema)
     )
 
 
