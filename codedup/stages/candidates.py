@@ -36,19 +36,21 @@ from codedup.config import DedupConfig
 def candidate_pairs(bands: DataFrame, cfg: DedupConfig) -> DataFrame:
     """(file_id, band, band_hash) -> distinct (a, b) with a < b.
 
-    One shuffle sizes AND annotates every bucket (window count + window
-    min over the band-hash partitioning — the explicit repartitioning by
-    band-hash the north_star asks for IS this window's exchange);
-    size-1 buckets (the vast majority) are dropped before any join, hot
-    buckets emit star pairs with no extra join."""
+    Bucket sizes come from a pre-aggregated stats join, not a window:
+    the window form shuffled AND sorted every band row just to count
+    its bucket, while groupBy aggregates map-side (partial aggregation,
+    guide §2.3) down to the >1 buckets only — on a mostly-clean corpus
+    that table is near-empty, so AQE turns the annotate join into a
+    broadcast and the full band stream never shuffles at all; on a
+    dup-heavy corpus it degrades to the same band-hash exchange the
+    window needed (minus the sort), with AQE skew-join still armed."""
     cap = cfg.band_bucket_cap
-    w = Window.partitionBy("band", "band_hash")
-    sized = (
-        bands
-        .withColumn("bsz", F.count(F.lit(1)).over(w))
-        .withColumn("rep", F.min("file_id").over(w))
+    stats = (
+        bands.groupBy("band", "band_hash")
+        .agg(F.count(F.lit(1)).alias("bsz"), F.min("file_id").alias("rep"))
         .filter(F.col("bsz") > 1)
     )
+    sized = bands.join(stats, ["band", "band_hash"])
 
     small = sized.filter(F.col("bsz") <= cap).select("band", "band_hash", "file_id")
     pairs_small = (
