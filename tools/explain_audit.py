@@ -118,8 +118,23 @@ def main() -> int:
         sections.append((name, plan, notes))
         return bnlj_ok and hash_ok
 
-    ok &= audit_no_bnlj("query: ann_lsh_bucketed (multi-probe equi-join)",
-                        QUERIES["ann_lsh_bucketed"](spark, SF))
+    def audit_cogrouped(name, df, marker):
+        plan = plan_of(df)
+        notes = []
+        bnlj_ok = "BroadcastNestedLoopJoin" not in plan
+        notes.append(f"{'OK' if bnlj_ok else 'VIOLATION'}: no BroadcastNestedLoopJoin")
+        m_ok = marker in plan
+        notes.append(f"{'OK' if m_ok else 'VIOLATION'}: {marker} present "
+                     "(cell-grouped Arrow stage)")
+        sections.append((name, plan, notes))
+        return bnlj_ok and m_ok
+
+    # round-6: candidate scoring moved into a bucket-cogrouped Arrow
+    # kernel; bucket equality is still the pruning key and the norm
+    # joins stay broadcast hash joins
+    ok &= audit_cogrouped("query: ann_lsh_bucketed (multi-probe bucket cogroup)",
+                          QUERIES["ann_lsh_bucketed"](spark, SF),
+                          "FlatMapCoGroupsInPandas")
     ok &= audit("query: ann_topk_cosine (block matmul)",
                 QUERIES["ann_topk_cosine"](spark, SF), expect_no_python=False)
     ok &= audit("query: embedding_similar_pairs (block matmul)",
@@ -137,17 +152,6 @@ def main() -> int:
     # with NO BroadcastNestedLoopJoin and no join at all for SemDeDup
     # (the relational equi-join twins remain in ann.py, equivalence-
     # tested in tests/test_ann_scale_path.py)
-    def audit_cogrouped(name, df, marker):
-        plan = plan_of(df)
-        notes = []
-        bnlj_ok = "BroadcastNestedLoopJoin" not in plan
-        notes.append(f"{'OK' if bnlj_ok else 'VIOLATION'}: no BroadcastNestedLoopJoin")
-        m_ok = marker in plan
-        notes.append(f"{'OK' if m_ok else 'VIOLATION'}: {marker} present "
-                     "(cell-grouped Arrow stage)")
-        sections.append((name, plan, notes))
-        return bnlj_ok and m_ok
-
     ok &= audit_cogrouped("query: ann_ivf_topk (argmin assignment + cell-cogrouped gemm)",
                           QUERIES["ann_ivf_topk"](spark, SF), "FlatMapCoGroupsInPandas")
     ok &= audit_cogrouped("query: semantic_dedup (per-cell gram, no join)",
@@ -156,8 +160,12 @@ def main() -> int:
                 QUERIES["doc_repetition_stats"](spark, SF))
     ok &= audit("query: doc_pii_scrub (single-scan regex transform)",
                 QUERIES["doc_pii_scrub"](spark, SF))
-    ok &= audit("query: apply_plan_moves (family/slot windows)",
-                QUERIES["apply_plan_moves"](spark, SF))
+    # round-6: the family/slot discipline runs as ONE cogrouped Arrow
+    # kernel (every step is (family, suffix)-local); audited shape is
+    # the cogroup node replacing the former ~10-exchange window cascade
+    ok &= audit_cogrouped("query: apply_plan_moves (cogrouped family assignment)",
+                          QUERIES["apply_plan_moves"](spark, SF),
+                          "FlatMapCoGroupsInPandas")
     ok &= audit_no_bnlj("query: winnowing_pairs (rare-fingerprint equi self-join)",
                         QUERIES["winnowing_pairs"](spark, SF))
     ok &= audit("query: paragraph_dedup_stats (paragraph-df join)",
