@@ -197,7 +197,13 @@ def q_doc_rarest_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # before the distinct (guide §2.5 input skew)
     docs = _t(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism)
-    toks = docs.select("doc_id", F.explode(F.expr(_TOKENS)).alias("tok")).distinct()
+    # per-doc dedup happens map-side (array_distinct before the
+    # explode): explode(array_distinct(x)) yields exactly the distinct
+    # (doc_id, tok) set, so the old global .distinct() exchange of the
+    # full exploded stream is gone (guide §2.3 — shuffle fewer bytes);
+    # the df aggregation map-combines to one row per distinct token
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.expr(_TOKENS))).alias("tok"))
     df_t = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     # single aggregation instead of window-rank + filter + re-group:
     # "3 rarest by (df asc, tok asc)" is just the first 3 of the
