@@ -434,9 +434,18 @@ def _minhash_pipeline_pairs(spark: SparkSession, sf_dir: str, cfg: DedupConfig) 
         .select(F.least("da", "db").alias("a"), F.greatest("da", "db").alias("b"),
                 "jaccard_ppm")
     )
+    # restrict the intra-group expansion to sha groups that actually
+    # have >1 member BEFORE self-joining: the dup-group table
+    # map-combines to (usually) near-nothing, AQE broadcasts it, and
+    # the full membership no longer shuffles+sorts just to discover
+    # there are no exact-dup pairs (same move as candidate_pairs'
+    # stats join)
+    dup_shas = (membs.groupBy("sha256").agg(F.count(F.lit(1)).alias("n"))
+                .filter(F.col("n") > 1).select("sha256"))
+    m2 = membs.join(dup_shas, "sha256", "left_semi")
     intra = (
-        membs.alias("x")
-        .join(membs.alias("y"), "sha256")
+        m2.alias("x")
+        .join(m2.alias("y"), "sha256")
         .filter(F.col("x.doc_id") < F.col("y.doc_id"))
         .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"),
                 F.lit(1_000_000).alias("jaccard_ppm"))
